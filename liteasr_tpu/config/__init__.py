@@ -1,0 +1,149 @@
+"""Config schema + composition engine.
+
+TPU-native re-design of the reference's Hydra/OmegaConf config layer
+(reference: liteasr/config/__init__.py:12-102, liteasr/config/config.yaml).
+Hydra is not a dependency here; `liteasr_tpu.config.compose` provides the same
+public surface: YAML config groups (task/model/criterion/optimizer), dataclass
+schemas registered by component decorators, ``${path}`` interpolation (the
+OmegaConf ``II()`` idiom), ``???`` required fields, and dotted CLI overrides.
+"""
+
+from liteasr_tpu.config.core import (  # noqa: F401
+    MISSING,
+    II,
+    ConfigStore,
+    DotDict,
+    compose,
+    load_yaml,
+    resolve,
+    to_dict,
+    to_yaml,
+)
+
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+
+@dataclass
+class LiteasrDataclass:
+    name: Optional[str] = None
+
+
+@dataclass
+class TriggerConfig(LiteasrDataclass):
+    """One trainer event: run method `name` every `interval` `unit`s.
+
+    Reference: liteasr/config/__init__.py:17-21 (_TriggerConfig).
+    """
+
+    interval: int = 1
+    unit: str = "epoch"  # epoch | iteration
+
+
+@dataclass
+class CommonConfig(LiteasrDataclass):
+    seed: int = 1
+    trigger: List[TriggerConfig] = field(default_factory=list)
+    memory_save: bool = False
+    run_dir: str = "."  # where train.log / resolved config land
+    log_level: str = "INFO"
+    profile_dir: Optional[str] = None  # jax.profiler trace output (aux subsystem)
+
+
+@dataclass
+class DatasetConfig(LiteasrDataclass):
+    """Batching policy knobs. Reference: liteasr/config/__init__.py:30-39."""
+
+    batch_count: str = "seq"  # seq | frame
+    batch_size: Optional[int] = None
+    min_batch_size: Optional[int] = 1
+    max_len_in: Optional[int] = None
+    max_len_out: Optional[int] = None
+    max_frame_in: Optional[int] = None
+    max_frame_out: Optional[int] = None
+    max_frame_inout: Optional[int] = None
+    # TPU-specific: pad each batch's time/label axes up to multiples of these
+    # values so XLA sees a small, bounded set of shapes (bucketed padding).
+    pad_time_multiple: int = 128
+    pad_label_multiple: int = 16
+    num_workers: int = 2  # host-side prefetch threads
+
+
+@dataclass
+class SpecAugmentConfig:
+    """Reference: liteasr/config/__init__.py:43-50."""
+
+    time_warp: int = 80
+    freq_mask: int = 27
+    freq_mask_times: int = 1
+    time_mask: int = 100
+    time_mask_times: int = 1
+    inplace: bool = True
+    replace_with_zero: bool = False
+
+
+@dataclass
+class PostProcessConfig(LiteasrDataclass):
+    spec_aug: SpecAugmentConfig = field(default_factory=SpecAugmentConfig)
+    workflow: List[str] = field(default_factory=lambda: ["spec_aug"])
+
+
+@dataclass
+class DistributedConfig(LiteasrDataclass):
+    """Mesh/axis layout (replaces the reference's NCCL DDP process topology,
+    liteasr/config/__init__.py:60-70). Data parallelism is a mesh axis; extra
+    axes enable tensor parallelism beyond reference parity.
+    """
+
+    dp: int = -1  # -1: all remaining devices
+    tp: int = 1  # tensor-parallel axis size
+    num_workers: int = 2
+    # multi-host bootstrap (jax.distributed.initialize)
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+
+
+@dataclass
+class OptimizationConfig(LiteasrDataclass):
+    """Reference: liteasr/config/__init__.py:74-78."""
+
+    max_epoch: int = -1
+    max_iter: int = -1
+    accum_grad: int = 1
+    clip_grad_norm: float = 0.0
+    dtype: str = "bfloat16"  # compute dtype inside the train step
+
+
+@dataclass
+class InferenceConfig(LiteasrDataclass):
+    """Reference: liteasr/config/__init__.py:82-88."""
+
+    ckpt_path: str = II("task.save_dir")
+    ckpt_name: Optional[int] = MISSING
+    model_avg: bool = False
+    avg_num: int = 1
+    avg_policy: Optional[str] = II("common.run_dir")
+    thread_num: int = 32  # kept for CLI parity; device batching is used instead
+    batch_size: int = 8  # utterances decoded per device batch
+    beam_size: int = 10
+    ctc_weight: float = 0.5
+
+
+@dataclass
+class LiteasrConfig(LiteasrDataclass):
+    common: CommonConfig = field(default_factory=CommonConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    postprocess: PostProcessConfig = field(default_factory=PostProcessConfig)
+    distributed: DistributedConfig = field(default_factory=DistributedConfig)
+    optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+    task: Any = None
+    model: Any = None
+    criterion: Any = None
+    optimizer: Any = None
+
+
+def config_init() -> None:
+    """Register the root schema (reference: liteasr/train.py:36-38)."""
+    ConfigStore.instance().store(name="liteasr_config", node=LiteasrConfig)

@@ -1,0 +1,105 @@
+"""Hybrid CTC / label-smoothed attention loss.
+
+Reference: liteasr/criterions/hybrid_ctc_attn.py:17-87. Loss values match the
+reference numerically: the attention part is the full KL divergence
+``true_dist * (log(true_dist) - log_softmax(h))`` (torch KLDivLoss semantics,
+including the constant entropy term), summed over non-ignored positions and
+divided by batch size; the CTC part is a summed NLL divided by batch size;
+blended with ``ctc_weight``.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import jax.nn
+
+from liteasr_tpu.config import MISSING, LiteasrDataclass
+from liteasr_tpu.criterions import LiteasrLoss, register_criterion
+from liteasr_tpu.ops.ctc import ctc_loss
+
+
+@dataclass
+class HybridCTCLossConfig(LiteasrDataclass):
+    name: Optional[str] = field(default="hybrid_ctc")
+    vocab_size: int = MISSING
+    padding_idx: int = -1
+    smoothing: float = 0.0
+    normalize_length: bool = False
+    ctc_weight: float = 0.0
+
+
+def label_smoothed_kl(h_attn, tgt_attn, vocab_size: int, smoothing: float,
+                      padding_idx: int = -1):
+    """Sum over non-ignored positions of KL(true_dist || softmax(h))."""
+    tgt_flat = tgt_attn.reshape(-1)
+    ignore = tgt_flat == padding_idx
+    tgt_safe = jnp.where(ignore, 0, tgt_flat)
+
+    logp = jax.nn.log_softmax(
+        h_attn.reshape(-1, vocab_size).astype(jnp.float32), axis=-1)
+
+    off = smoothing / (vocab_size - 1)
+    on = 1.0 - smoothing
+
+    # sum_v q_v * (log q_v - logp_v), with the one-hot mass handled separately
+    # q*log(q) entropy constant (0 when q==0)
+    ent = off * jnp.log(jnp.maximum(off, 1e-38)) * (vocab_size - 1) \
+        + on * jnp.log(jnp.maximum(on, 1e-38))
+    cross = off * logp.sum(axis=-1) \
+        + (on - off) * jnp.take_along_axis(logp, tgt_safe[:, None], axis=1)[:, 0]
+    kl = ent - cross
+    return jnp.where(ignore, 0.0, kl).sum()
+
+
+@register_criterion("hybrid_ctc", dataclass=HybridCTCLossConfig)
+class HybridCTCLoss(LiteasrLoss):
+    def __init__(self, cfg, task=None):
+        super().__init__(cfg)
+        self.vocab_size = int(cfg.vocab_size)
+        self.smoothing = float(cfg.smoothing)
+        self.ctc_weight = float(cfg.ctc_weight)
+        self.padding_idx = int(cfg.padding_idx)
+
+    @classmethod
+    def build_criterion(cls, cfg, task=None):
+        if task is not None:
+            cfg.vocab_size = task.vocab_size
+        return cls(cfg, task)
+
+    def __call__(self, model, variables, batch, rngs=None, train: bool = True):
+        xs, xlens, ys, ylens = (
+            batch["xs"], batch["xlens"], batch["ys"], batch["ylens"])
+        valid = batch.get("valid")  # (B,) 1.0 for real utts, 0.0 for pad rows
+        if valid is None:
+            valid = jnp.ones(xs.shape[0], dtype=jnp.float32)
+        nutt = jnp.maximum(valid.sum(), 1.0)
+
+        mutable = ["batch_stats"] if train else []
+        out = model.apply(
+            variables, xs, xlens, ys, ylens, train=train,
+            rngs=rngs, mutable=mutable)
+        (h_attn, h_ctc), new_model_state = (
+            out if mutable else (out, {}))
+
+        tgt_attn, tgt_ctc = model.get_target(ys, ylens)
+        # padded rows: force every position ignored so they contribute 0
+        tgt_attn = jnp.where(valid[:, None] > 0, tgt_attn, self.padding_idx)
+
+        loss_attn = label_smoothed_kl(
+            h_attn, tgt_attn, self.vocab_size, self.smoothing,
+            self.padding_idx) / nutt
+
+        logp_ctc = jax.nn.log_softmax(h_ctc.astype(jnp.float32), axis=-1)
+        per_utt = ctc_loss(
+            logp_ctc, jnp.where(ys == self.padding_idx, 0, ys),
+            model.get_pred_len(xlens), ylens)
+        loss_ctc = (per_utt * valid).sum() / nutt
+
+        loss = self.ctc_weight * loss_ctc + (1 - self.ctc_weight) * loss_attn
+        aux = {
+            "loss_attn": loss_attn,
+            "loss_ctc": loss_ctc,
+            "model_state": new_model_state,
+        }
+        return loss, aux

@@ -1,0 +1,240 @@
+"""Batchified datasets + fixed-shape collators.
+
+Reference: liteasr/dataset/asr_dataset.py:24-155 and
+liteasr/dataset/pretrain_dataset.py:16-70. A dataset item IS a whole
+minibatch (list of Audio); the collator turns it into padded numpy arrays.
+
+TPU-native difference: the collator pads the time/label axes up to bucket
+multiples and the batch axis up to a multiple of the data-parallel degree, so
+XLA sees a small bounded set of shapes (no recompilation storm) and every
+batch divides evenly across the ``dp`` mesh axis. Padded rows carry
+``valid=0`` and contribute zero loss.
+"""
+
+import logging
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from liteasr_tpu.data.audio import Audio
+from liteasr_tpu.data.batchify import FrameBatch, SeqBatch, Wav2VecBatch
+from liteasr_tpu.data.sheet import AudioSheet, TextSheet
+from liteasr_tpu.data.transform import PostProcess
+from liteasr_tpu.utils.misc import dec2hex, round_up
+
+logger = logging.getLogger(__name__)
+
+IGNORE = -1
+
+
+def collate_batch(
+    samples: List[Audio],
+    train: bool,
+    postprocess: Optional[PostProcess] = None,
+    pad_time_multiple: int = 128,
+    pad_label_multiple: int = 16,
+    batch_multiple: int = 1,
+    feat_dim: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Pad a list of utterances into one fixed-shape batch dict."""
+    xs, xlens, ys, ylens = [], [], [], []
+    for sample in samples:
+        x = sample.x
+        if train and postprocess is not None:
+            x = postprocess(x)
+        xs.append(np.asarray(x, dtype=np.float32))
+        xlens.append(sample.xlen)
+        ys.append(sample.y if sample.y is not None else
+                  np.zeros(0, dtype=np.int32))
+        ylens.append(sample.ylen)
+
+    B = len(xs)
+    Bp = round_up(B, batch_multiple)
+    T = round_up(max(x.shape[0] for x in xs), pad_time_multiple)
+    U = max(1, round_up(max(max(ylens), 1), pad_label_multiple))
+    D = feat_dim if feat_dim is not None else xs[0].shape[-1]
+
+    out_x = np.zeros((Bp, T, D), dtype=np.float32)
+    out_y = np.full((Bp, U), IGNORE, dtype=np.int32)
+    out_xlen = np.full(Bp, 1, dtype=np.int32)  # dummy rows: 1 frame
+    out_ylen = np.zeros(Bp, dtype=np.int32)
+    valid = np.zeros(Bp, dtype=np.float32)
+
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        out_x[i, : x.shape[0]] = x
+        out_y[i, : y.shape[0]] = y
+        out_xlen[i] = xlens[i]
+        out_ylen[i] = ylens[i]
+        valid[i] = 1.0
+    # dummy rows need xlen >= 7 so the conv subsampling yields >= 1 frame
+    out_xlen[B:] = min(7, T)
+
+    return {
+        "xs": out_x,
+        "xlens": out_xlen,
+        "ys": out_y,
+        "ylens": out_ylen,
+        "valid": valid,
+    }
+
+
+class AudioFileDataset:
+    """Feature/transcript dataset with length-sorted batchify.
+
+    Mirrors liteasr/dataset/asr_dataset.py:24-155, including the
+    ``memory_save`` pickle-dump staging of batches into hex-sharded dirs.
+    """
+
+    def __init__(
+        self,
+        split: str,
+        data_dir: str,
+        delimiter: Optional[str],
+        dataset_cfg,
+        postprocess_cfg,
+        vocab,
+        keep_raw: bool = False,
+        memory_save: bool = False,
+    ):
+        self.split = split
+        self.data: List[Audio] = []
+        self.batchify_policy = None
+        self.dataset_cfg = dataset_cfg
+        self.dump_path = Path(data_dir, ".dump")
+        self.postprocess = (
+            PostProcess(postprocess_cfg) if postprocess_cfg is not None else None)
+        self.batch_multiple = 1  # trainer sets this to the dp degree
+
+        _is_prior = memory_save and not self.dump_path.is_dir()
+        _is_other = memory_save and self.dump_path.is_dir()
+
+        _as = AudioSheet(data_dir)
+        _ts = TextSheet(data_dir, vocab=vocab, delimiter=delimiter)
+        assert len(_as) == len(_ts)
+
+        for audio_info, text_info in zip(_as, _ts):
+            uttid, fd, start, shape = audio_info
+            uttid_t, tokenids, text = text_info
+            assert uttid_t == uttid
+            self.data.append(
+                Audio(fd, start, shape, tokenids, text if keep_raw else None))
+            if _is_other:
+                break
+
+        self.feat_dim = self.data[0].x.shape[-1]
+
+        if not memory_save or _is_prior:
+            if dataset_cfg is not None and dataset_cfg.get("batch_size"):
+                self.batchify(dataset_cfg)
+
+        if _is_prior:
+            self.dump_path.mkdir(parents=True)
+            for i, batch_indices in enumerate(self.batchify_policy):
+                prefix, infix, suffix = dec2hex(i)
+                (self.dump_path / prefix / infix).mkdir(
+                    parents=True, exist_ok=True)
+                with (self.dump_path / prefix / infix /
+                      f"{suffix}.batch").open("wb") as f:
+                    pickle.dump([self.data[idx] for idx in batch_indices], f)
+
+        if memory_save:
+            self.data = []
+            self.batchify_policy = None
+
+    def batchify(self, dataset_cfg):
+        if dataset_cfg.batch_count == "seq":
+            policy_cls = SeqBatch
+        elif dataset_cfg.batch_count == "frame":
+            policy_cls = FrameBatch
+        else:
+            raise ValueError(f"unsupported strategy {dataset_cfg.batch_count}")
+        self.batchify_policy = policy_cls(dataset_cfg)
+        indices, _ = zip(*sorted(
+            enumerate(self.data), key=lambda d: d[1].xlen, reverse=True))
+        self.batchify_policy.batchify(indices, self.data)
+
+    @property
+    def train(self) -> bool:
+        return self.split == "train"
+
+    def collator(self, samples: List[Audio]) -> Dict[str, np.ndarray]:
+        cfg = self.dataset_cfg
+        return collate_batch(
+            samples,
+            train=self.train,
+            postprocess=self.postprocess,
+            pad_time_multiple=cfg.get("pad_time_multiple", 128) if cfg else 128,
+            pad_label_multiple=cfg.get("pad_label_multiple", 16) if cfg else 16,
+            batch_multiple=self.batch_multiple,
+            feat_dim=self.feat_dim,
+        )
+
+    def __getitem__(self, index):
+        if self.batchify_policy is not None:
+            return [self.data[idx] for idx in self.batchify_policy[index]]
+        if self.data:
+            return self.data[index]
+        prefix, infix, suffix = dec2hex(index)
+        with (self.dump_path / prefix / infix / f"{suffix}.batch").open("rb") as f:
+            return pickle.load(f)
+
+    def __len__(self):
+        if self.batchify_policy is not None:
+            return len(self.batchify_policy)
+        if self.data:
+            return len(self.data)
+        count = 0
+        for prefix in self.dump_path.iterdir():
+            for infix in prefix.iterdir():
+                count += len(list(infix.iterdir()))
+        return count
+
+
+class RawAudioFileDataset:
+    """Raw-waveform dataset for wav2vec2 pretraining
+    (liteasr/dataset/pretrain_dataset.py:16-70)."""
+
+    def __init__(self, data_dir: str, dataset_cfg, postprocess_cfg=None,
+                 crop_frames: int = 250000):
+        self.data: List[Audio] = []
+        self.batchify_policy = None
+        self.dataset_cfg = dataset_cfg
+        self.crop_frames = crop_frames
+        self.batch_multiple = 1
+        self.split = "train"
+
+        for uttid, fd, start, shape in AudioSheet(data_dir):
+            self.data.append(Audio(fd, start, shape, None, None))
+
+        self.feat_dim = 1
+        self.batchify(dataset_cfg)
+
+    def batchify(self, dataset_cfg):
+        self.batchify_policy = Wav2VecBatch(dataset_cfg)
+        indices, _ = zip(*sorted(
+            enumerate(self.data), key=lambda d: d[1].xlen, reverse=True))
+        self.batchify_policy.batchify(indices, self.data)
+
+    def collator(self, samples: List[Audio]) -> Dict[str, np.ndarray]:
+        # crop the batch to its shortest utterance (<= crop_frames), like the
+        # reference collator (pretrain_dataset.py:51-56)
+        min_frames = min(min(s.xlen for s in samples), self.crop_frames)
+        B = round_up(len(samples), self.batch_multiple)
+        out = np.zeros((B, min_frames), dtype=np.float32)
+        valid = np.zeros(B, dtype=np.float32)
+        for i, s in enumerate(samples):
+            out[i] = s.x[:min_frames]
+            valid[i] = 1.0
+        return {"xs": out, "valid": valid}
+
+    def __getitem__(self, index):
+        if self.batchify_policy is None:
+            return self.data[index]
+        return [self.data[idx] for idx in self.batchify_policy[index]]
+
+    def __len__(self):
+        if self.batchify_policy is None:
+            return len(self.data)
+        return len(self.batchify_policy)

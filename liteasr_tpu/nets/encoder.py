@@ -1,0 +1,82 @@
+"""Shared Transformer/Conformer encoder (liteasr/nets/transformer_encoder.py:28-127).
+
+Pipeline: Conv2D subsample (T -> T/4) -> (relative) positional encoding ->
+N encoder layers -> final LayerNorm. The padding-mask subsampling follows the
+reference's convolution simulation exactly: ``mask[:, :-2:2][:, :-2:2]``
+(transformer_encoder.py:118) — the CTC length formula depends on it.
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from liteasr_tpu.nets.common import (
+    LayerNorm,
+    PositionalEncoding,
+    RelativePositionalEncoding,
+)
+from liteasr_tpu.nets.layers import ConformerLayer, EncoderLayer
+from liteasr_tpu.nets.subsampling import Conv2DSubsampling
+
+
+def subsample_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, T) padding mask -> (B, T') after the two stride-2 convs."""
+    return mask[:, :-2:2][:, :-2:2]
+
+
+class TransformerEncoder(nn.Module):
+    use_rel: bool
+    h_dim: int
+    ff_dim: int
+    n_head: int
+    n_layer: int
+    dropout_rate: float
+    pos_dropout_rate: float
+    attn_dropout_rate: float
+    ff_dropout_rate: float
+    activation: str = "swish"
+    arch: str = "conformer"  # transformer | conformer
+    conv_kernel: int = 15
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        """:param x: (B, T, F) features; ``mask``: (B, T) True = padding.
+        Returns (B, T', h_dim) with T' = ((T-1)//2-1)//2."""
+        x = Conv2DSubsampling(self.h_dim, self.dropout_rate,
+                              dtype=self.dtype, name="embed")(x, train)
+
+        if self.use_rel:
+            x, pos_emb = RelativePositionalEncoding(
+                self.pos_dropout_rate, dtype=self.dtype, name="pe")(x, train)
+        else:
+            x = PositionalEncoding(
+                self.pos_dropout_rate, dtype=self.dtype, name="pe")(x, train)
+            pos_emb = None
+
+        attn_mask = None
+        if mask is not None:
+            sub = subsample_mask(mask)
+            attn_mask = sub[:, None, None, :]  # (B, 1, 1, T')
+
+        layer_cls = ConformerLayer if self.arch == "conformer" else EncoderLayer
+        kwargs = dict(
+            n_head=self.n_head,
+            ff_dim=self.ff_dim,
+            dropout_rate=self.dropout_rate,
+            attn_dropout_rate=self.attn_dropout_rate,
+            ff_dropout_rate=self.ff_dropout_rate,
+            activation=self.activation,
+            use_rel=self.use_rel,
+            dtype=self.dtype,
+        )
+        if self.arch == "conformer":
+            kwargs["conv_kernel"] = self.conv_kernel
+
+        for i in range(self.n_layer):
+            x = layer_cls(**kwargs, name=f"layer_{i}")(
+                x, pos_emb=pos_emb, mask=attn_mask, train=train)
+
+        return LayerNorm(dtype=self.dtype, name="after_norm")(x)

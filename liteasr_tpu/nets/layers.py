@@ -1,0 +1,181 @@
+"""Transformer / Conformer residual sublayer compositions.
+
+Reference: liteasr/nets/transformer_layer.py:10-221 (pre-LN encoder/decoder
+layers) and liteasr/nets/conformer_layer.py:10-147 (macaron-FF x0.5 -> MHA ->
+conv -> FF x0.5 -> final LN).
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from liteasr_tpu.nets.attention import MultiHeadAttention, RelativeMultiHeadAttention
+from liteasr_tpu.nets.common import LayerNorm, PositionwiseFeedForward, get_activation
+
+
+class ConformerConvolution(nn.Module):
+    """pointwise -> GLU -> depthwise(k, SAME) -> BatchNorm -> act -> pointwise.
+
+    Reference: liteasr/nets/conformer_convolution.py:4-57. Implemented
+    channel-last: the pointwise convs are Dense layers (MXU matmuls) and the
+    depthwise conv is a feature-grouped 1D conv the XLA TPU backend fuses
+    well.
+    """
+
+    kernel_size: int = 15
+    activation: str = "swish"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        channels = x.shape[-1]
+        assert (self.kernel_size - 1) % 2 == 0
+        x = nn.Dense(2 * channels, dtype=self.dtype, name="pointwise_conv1")(x)
+        x = nn.glu(x, axis=-1)
+        x = nn.Conv(
+            features=channels,
+            kernel_size=(self.kernel_size,),
+            padding="SAME",
+            feature_group_count=channels,
+            dtype=self.dtype,
+            name="depthwise_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, dtype=jnp.float32, name="norm")(x)
+        x = get_activation(self.activation)(x.astype(self.dtype))
+        return nn.Dense(channels, dtype=self.dtype, name="pointwise_conv2")(x)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-LN transformer encoder layer (transformer_layer.py:10-76)."""
+
+    n_head: int
+    ff_dim: int
+    dropout_rate: float
+    attn_dropout_rate: float
+    ff_dropout_rate: float
+    activation: str = "relu"
+    use_rel: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos_emb=None, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+
+        residual = x
+        y = LayerNorm(dtype=self.dtype, name="self_attn_norm")(x)
+        if self.use_rel:
+            y = RelativeMultiHeadAttention(
+                self.n_head, self.attn_dropout_rate, dtype=self.dtype,
+                name="self_attn")(y, y, y, pos_emb, mask, train)
+        else:
+            y = MultiHeadAttention(
+                self.n_head, self.attn_dropout_rate, dtype=self.dtype,
+                name="self_attn")(y, y, y, mask, train)
+        x = residual + drop(y)
+
+        residual = x
+        y = LayerNorm(dtype=self.dtype, name="feed_forward_norm")(x)
+        y = PositionwiseFeedForward(
+            self.ff_dim, self.ff_dropout_rate, self.activation,
+            dtype=self.dtype, name="feed_forward")(y, train)
+        return residual + drop(y)
+
+
+class ConformerLayer(nn.Module):
+    """Conformer block (conformer_layer.py:10-147)."""
+
+    n_head: int
+    ff_dim: int
+    dropout_rate: float
+    attn_dropout_rate: float
+    ff_dropout_rate: float
+    conv_kernel: int = 15
+    activation: str = "swish"
+    use_rel: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos_emb=None, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+        ff_scale = 0.5
+
+        # macaron feed-forward
+        residual = x
+        y = LayerNorm(dtype=self.dtype, name="feed_forward_macaron_norm")(x)
+        y = PositionwiseFeedForward(
+            self.ff_dim, self.ff_dropout_rate, self.activation,
+            dtype=self.dtype, name="feed_forward_macaron")(y, train)
+        x = residual + ff_scale * drop(y)
+
+        # self attention
+        residual = x
+        y = LayerNorm(dtype=self.dtype, name="self_attn_norm")(x)
+        if self.use_rel:
+            y = RelativeMultiHeadAttention(
+                self.n_head, self.attn_dropout_rate, dtype=self.dtype,
+                name="self_attn")(y, y, y, pos_emb, mask, train)
+        else:
+            y = MultiHeadAttention(
+                self.n_head, self.attn_dropout_rate, dtype=self.dtype,
+                name="self_attn")(y, y, y, mask, train)
+        x = residual + drop(y)
+
+        # convolution module
+        residual = x
+        y = LayerNorm(dtype=self.dtype, name="conv_norm")(x)
+        y = ConformerConvolution(
+            self.conv_kernel, self.activation, dtype=self.dtype,
+            name="conv")(y, train)
+        x = residual + drop(y)
+
+        # feed-forward
+        residual = x
+        y = LayerNorm(dtype=self.dtype, name="feed_forward_norm")(x)
+        y = PositionwiseFeedForward(
+            self.ff_dim, self.ff_dropout_rate, self.activation,
+            dtype=self.dtype, name="feed_forward")(y, train)
+        x = residual + ff_scale * drop(y)
+
+        return LayerNorm(dtype=self.dtype, name="final_norm")(x)
+
+
+class DecoderLayer(nn.Module):
+    """Self-attn + src-attn + FF (transformer_layer.py:139-221)."""
+
+    n_head: int
+    ff_dim: int
+    dropout_rate: float
+    self_attn_dropout_rate: float
+    src_attn_dropout_rate: float
+    ff_dropout_rate: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y, memory, mask=None, memory_mask=None,
+                 train: bool = False):
+        drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+
+        residual = y
+        z = LayerNorm(dtype=self.dtype, name="self_attn_norm")(y)
+        z = MultiHeadAttention(
+            self.n_head, self.self_attn_dropout_rate, dtype=self.dtype,
+            name="self_attn")(z, z, z, mask, train)
+        y = residual + drop(z)
+
+        residual = y
+        z = LayerNorm(dtype=self.dtype, name="src_attn_norm")(y)
+        z = MultiHeadAttention(
+            self.n_head, self.src_attn_dropout_rate, dtype=self.dtype,
+            name="src_attn")(z, memory, memory, memory_mask, train)
+        y = residual + drop(z)
+
+        residual = y
+        z = LayerNorm(dtype=self.dtype, name="feed_forward_norm")(y)
+        z = PositionwiseFeedForward(
+            self.ff_dim, self.ff_dropout_rate, dtype=self.dtype,
+            name="feed_forward")(z, train)
+        return residual + drop(z)

@@ -1,0 +1,91 @@
+"""CTC loss as a batched log-space forward recursion under ``lax.scan``.
+
+TPU-native replacement for the reference's ``torch.nn.CTCLoss`` (cuDNN native
+kernel; liteasr/criterions/hybrid_ctc_attn.py:32,67-75). The whole lattice is
+vectorized over (batch, 2U+1) states so each scan step is a handful of fused
+VPU ops; gradients come from JAX autodiff through the scan.
+"""
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _logaddexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    valid = m > NEG_INF
+    # sanitize all inputs of the dead branch so its (unused) gradient is
+    # finite — jax.grad evaluates both sides of a `where`
+    m_safe = jnp.where(valid, m, 0.0)
+    a = jnp.where(valid, a, 0.0)
+    b = jnp.where(valid, b, 0.0)
+    c = jnp.where(valid, c, 0.0)
+    out = m_safe + jnp.log(
+        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    )
+    return jnp.where(valid, out, NEG_INF)
+
+
+def ctc_loss(
+    log_probs: jnp.ndarray,
+    targets: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank: int = 0,
+) -> jnp.ndarray:
+    """Per-utterance negative log-likelihood, shape (B,).
+
+    :param log_probs: (B, T, V) log-softmax output
+    :param targets: (B, U) label ids, padding arbitrary (masked by lengths)
+    :param input_lengths: (B,) valid frames
+    :param label_lengths: (B,) valid labels
+    """
+    B, T, V = log_probs.shape
+    U = targets.shape[1]
+    S = 2 * U + 1
+
+    # extended label sequence: blank, y1, blank, y2, ..., blank
+    s_idx = jnp.arange(S)
+    is_label = (s_idx % 2) == 1
+    tgt_idx = jnp.clip((s_idx - 1) // 2, 0, U - 1)
+    ext = jnp.where(is_label[None, :], jnp.take_along_axis(
+        targets, jnp.broadcast_to(tgt_idx[None, :], (B, S)), axis=1), blank)
+
+    # allow the diagonal skip s-2 -> s only for labels that differ from the
+    # label two slots back (standard CTC topology)
+    ext_prev2 = jnp.concatenate(
+        [jnp.full((B, 2), blank, dtype=ext.dtype), ext[:, :-2]], axis=1)
+    can_skip = is_label[None, :] & (ext != ext_prev2)
+
+    def gather_logp(logp_t):
+        # logp_t: (B, V) -> (B, S) emission scores for extended labels
+        return jnp.take_along_axis(logp_t, ext, axis=1)
+
+    alpha0 = jnp.full((B, S), NEG_INF)
+    emit0 = gather_logp(log_probs[:, 0])
+    alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
+    alpha0 = alpha0.at[:, 1].set(emit0[:, 1])
+
+    def step(alpha, logp_t_and_t):
+        logp_t, t = logp_t_and_t
+        shift1 = jnp.concatenate(
+            [jnp.full((B, 1), NEG_INF), alpha[:, :-1]], axis=1)
+        shift2 = jnp.concatenate(
+            [jnp.full((B, 2), NEG_INF), alpha[:, :-2]], axis=1)
+        shift2 = jnp.where(can_skip, shift2, NEG_INF)
+        new_alpha = _logaddexp3(alpha, shift1, shift2) + gather_logp(logp_t)
+        # freeze finished utterances (t >= input_length)
+        active = (t < input_lengths)[:, None]
+        return jnp.where(active, new_alpha, alpha), None
+
+    ts = jnp.arange(1, T)
+    alpha, _ = jax.lax.scan(step, alpha0, (log_probs[:, 1:].swapaxes(0, 1), ts))
+
+    # final states: S_b - 1 = 2*U_b (last blank) and S_b - 2 = 2*U_b - 1
+    last = 2 * label_lengths  # (B,)
+    a_last = jnp.take_along_axis(alpha, last[:, None], axis=1)[:, 0]
+    a_prev = jnp.take_along_axis(
+        alpha, jnp.maximum(last - 1, 0)[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(label_lengths > 0, a_prev, NEG_INF)
+    return -jnp.logaddexp(a_last, a_prev)
