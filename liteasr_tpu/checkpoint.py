@@ -1,0 +1,120 @@
+"""Checkpoint I/O.
+
+Reference: liteasr/utils/checkpoint.py:15-73 (single-ckpt load, averaging over
+last-N by mtime or N-best by parsing ``valid loss:`` lines from train.log) and
+liteasr/models/__init__.py:31-32 (model-only state_dict save per epoch).
+
+TPU-native: params are a flax pytree serialized with msgpack
+(``model.ep.<epoch>.msgpack``). Beyond reference parity, full train-state
+checkpointing (params + optimizer + step) enables mid-training resume — the
+reference cannot resume (SURVEY.md §5).
+"""
+
+import glob
+import logging
+import os
+import re
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+logger = logging.getLogger(__name__)
+
+CKPT_TEMPLATE = "model.ep.{}.msgpack"
+
+
+def save_params(path: str, variables: Any) -> None:
+    """Serialize model variables (params [+ batch_stats]) to msgpack."""
+    variables = jax.device_get(variables)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(variables))
+
+
+def load_params(path: str) -> Any:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def _average_params(paths: List[str]) -> Any:
+    """Average float leaves; integer-divide int leaves (checkpoint.py:24-46)."""
+    acc = None
+    for p in paths:
+        tree = load_params(p)
+        if acc is None:
+            acc = tree
+        else:
+            acc = jax.tree.map(lambda a, b: a + b, acc, tree)
+    n = len(paths)
+
+    def avg(leaf):
+        if np.issubdtype(np.asarray(leaf).dtype, np.floating):
+            return leaf / n
+        return leaf // n
+
+    return jax.tree.map(avg, acc)
+
+
+def parse_valid_losses(log_path: str) -> List[float]:
+    """Extract ``valid loss: X`` values from train.log (checkpoint.py:55-67)."""
+    losses = []
+    with open(log_path, "r") as log:
+        for line in log:
+            match = re.match(r".*valid loss: ([\d\.]+)", line.strip())
+            if match:
+                losses.append(float(match.group(1)))
+    return losses
+
+
+def load_ckpt(infer_cfg) -> Any:
+    """Load (possibly averaged) model variables for decoding."""
+    ckpt_path = infer_cfg.ckpt_path
+    ckpt_name = infer_cfg.ckpt_name
+    if not infer_cfg.model_avg:
+        path = os.path.join(ckpt_path, CKPT_TEMPLATE.format(ckpt_name))
+        logger.info("loading checkpoint: %s", path)
+        return load_params(path)
+
+    ckpts = sorted(glob.glob(os.path.join(ckpt_path, "*")), key=os.path.getmtime)
+    target = os.path.join(ckpt_path, CKPT_TEMPLATE.format(ckpt_name))
+    pos = ckpts.index(target)
+    assert pos - infer_cfg.avg_num + 1 >= 0
+
+    avg_policy: Optional[str] = infer_cfg.get("avg_policy")
+    if avg_policy and os.path.isdir(avg_policy):
+        avg_policy = os.path.join(avg_policy, "train.log")
+    if avg_policy is None or not os.path.isfile(avg_policy):
+        pickup = ckpts[pos - infer_cfg.avg_num + 1: pos + 1]
+    else:
+        losses = parse_valid_losses(avg_policy)
+        ckpt_loss = sorted(
+            zip(ckpts[: pos + 1], losses[: pos + 1]), key=lambda cl: cl[1])
+        pickup = [c for c, _ in ckpt_loss[: infer_cfg.avg_num]]
+
+    logger.info("loading average checkpoint from:\n\t%s", "\n\t".join(pickup))
+    return _average_params(pickup)
+
+
+# -------------------------- full train-state checkpoints (resume support)
+
+def save_train_state(path: str, state: Any) -> None:
+    state = jax.device_get(state)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(state))
+
+
+def restore_train_state(path: str, template: Any) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def cast_floats(tree: Any, dtype=jnp.float32) -> Any:
+    def cast(leaf):
+        arr = jnp.asarray(leaf)
+        if jnp.issubdtype(arr.dtype, jnp.floating):
+            return arr.astype(dtype)
+        return arr
+
+    return jax.tree.map(cast, tree)

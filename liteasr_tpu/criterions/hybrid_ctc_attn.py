@@ -75,12 +75,14 @@ class HybridCTCLoss(LiteasrLoss):
             valid = jnp.ones(xs.shape[0], dtype=jnp.float32)
         nutt = jnp.maximum(valid.sum(), 1.0)
 
-        mutable = ["batch_stats"] if train else []
-        out = model.apply(
-            variables, xs, xlens, ys, ylens, train=train,
-            rngs=rngs, mutable=mutable)
-        (h_attn, h_ctc), new_model_state = (
-            out if mutable else (out, {}))
+        if train:
+            (h_attn, h_ctc), new_model_state = model.apply(
+                variables, xs, xlens, ys, ylens, train=True,
+                rngs=rngs, mutable=["batch_stats"])
+        else:
+            h_attn, h_ctc = model.apply(
+                variables, xs, xlens, ys, ylens, train=False)
+            new_model_state = {}
 
         tgt_attn, tgt_ctc = model.get_target(ys, ylens)
         # padded rows: force every position ignored so they contribute 0

@@ -37,39 +37,52 @@ def collate_batch(
     pad_label_multiple: int = 16,
     batch_multiple: int = 1,
     feat_dim: Optional[int] = None,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> Dict[str, np.ndarray]:
-    """Pad a list of utterances into one fixed-shape batch dict."""
-    xs, xlens, ys, ylens = [], [], [], []
-    for sample in samples:
+    """Pad a list of utterances into one fixed-shape batch dict.
+
+    Multi-host lockstep: every host sees the SAME sample list and computes the
+    same global padded shape from the (cheap) length metadata, then
+    materializes only its own row shard — feature I/O happens only for local
+    rows. This replaces the reference's DistributedSampler batch sharding
+    (trainer.py:48-53) which would give ranks different shapes.
+    """
+    # global padded geometry, from metadata only
+    B = len(samples)
+    Bp = round_up(B, batch_multiple * num_shards)
+    T = round_up(max(s.xlen for s in samples), pad_time_multiple)
+    U = max(1, round_up(max(max(s.ylen for s in samples), 1),
+                        pad_label_multiple))
+
+    rows = Bp // num_shards
+    lo = shard_index * rows
+    local = [samples[i] if i < B else None for i in range(lo, lo + rows)]
+
+    D = feat_dim
+    if D is None:
+        probe = next(s for s in samples if s is not None)
+        D = probe.x.shape[-1]
+
+    out_x = np.zeros((rows, T, D), dtype=np.float32)
+    out_y = np.full((rows, U), IGNORE, dtype=np.int32)
+    out_xlen = np.full(rows, min(7, T), dtype=np.int32)  # dummy rows
+    out_ylen = np.zeros(rows, dtype=np.int32)
+    valid = np.zeros(rows, dtype=np.float32)
+
+    for i, sample in enumerate(local):
+        if sample is None:
+            continue
         x = sample.x
         if train and postprocess is not None:
             x = postprocess(x)
-        xs.append(np.asarray(x, dtype=np.float32))
-        xlens.append(sample.xlen)
-        ys.append(sample.y if sample.y is not None else
-                  np.zeros(0, dtype=np.int32))
-        ylens.append(sample.ylen)
-
-    B = len(xs)
-    Bp = round_up(B, batch_multiple)
-    T = round_up(max(x.shape[0] for x in xs), pad_time_multiple)
-    U = max(1, round_up(max(max(ylens), 1), pad_label_multiple))
-    D = feat_dim if feat_dim is not None else xs[0].shape[-1]
-
-    out_x = np.zeros((Bp, T, D), dtype=np.float32)
-    out_y = np.full((Bp, U), IGNORE, dtype=np.int32)
-    out_xlen = np.full(Bp, 1, dtype=np.int32)  # dummy rows: 1 frame
-    out_ylen = np.zeros(Bp, dtype=np.int32)
-    valid = np.zeros(Bp, dtype=np.float32)
-
-    for i, (x, y) in enumerate(zip(xs, ys)):
+        x = np.asarray(x, dtype=np.float32)
+        y = sample.y if sample.y is not None else np.zeros(0, dtype=np.int32)
         out_x[i, : x.shape[0]] = x
         out_y[i, : y.shape[0]] = y
-        out_xlen[i] = xlens[i]
-        out_ylen[i] = ylens[i]
+        out_xlen[i] = sample.xlen
+        out_ylen[i] = sample.ylen
         valid[i] = 1.0
-    # dummy rows need xlen >= 7 so the conv subsampling yields >= 1 frame
-    out_xlen[B:] = min(7, T)
 
     return {
         "xs": out_x,
@@ -105,7 +118,11 @@ class AudioFileDataset:
         self.dump_path = Path(data_dir, ".dump")
         self.postprocess = (
             PostProcess(postprocess_cfg) if postprocess_cfg is not None else None)
-        self.batch_multiple = 1  # trainer sets this to the dp degree
+        # the trainer sets these: rows divisible by the per-host dp degree,
+        # and this host's row shard
+        self.batch_multiple = 1
+        self.num_shards = 1
+        self.shard_index = 0
 
         _is_prior = memory_save and not self.dump_path.is_dir()
         _is_other = memory_save and self.dump_path.is_dir()
@@ -169,6 +186,8 @@ class AudioFileDataset:
             pad_label_multiple=cfg.get("pad_label_multiple", 16) if cfg else 16,
             batch_multiple=self.batch_multiple,
             feat_dim=self.feat_dim,
+            num_shards=self.num_shards,
+            shard_index=self.shard_index,
         )
 
     def __getitem__(self, index):

@@ -60,8 +60,9 @@ class EpochDataLoader:
             try:
                 for idx in indices:
                     q.put(self.collate_fn(self.dataset[int(idx)]))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # propagate into the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -69,6 +70,8 @@ class EpochDataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
         t.join()
 

@@ -25,10 +25,12 @@ class PostProcess:
     """Config-ordered per-sample augmentation workflow (host side)."""
 
     def __init__(self, postprocess_cfg):
+        from liteasr_tpu.config.core import _wrap
+
         self.functions = []
         for process in postprocess_cfg.workflow:
             cls = TRANSFORMATION_REGISTRY[process]
-            self.functions.append(cls(postprocess_cfg[process]))
+            self.functions.append(cls(_wrap(postprocess_cfg[process])))
 
     def __call__(self, x):
         for fn in self.functions:

@@ -80,7 +80,8 @@ class SpecAugment:
         return cloned
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
-        x = np.ascontiguousarray(np.asarray(x, dtype=np.float32))
+        # own, writable copy (kaldi_io returns read-only frombuffer views)
+        x = np.array(x, dtype=np.float32, copy=True)
         assert x.ndim == 2
         x = self.time_warp(x)
         x = self.freq_mask(x)

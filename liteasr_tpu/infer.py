@@ -1,0 +1,106 @@
+"""Batch inference + scoring CLI (reference: liteasr/infer.py:25-129).
+
+Usage: ``liteasr-infer --config-dir <run_dir> [overrides]`` where run_dir
+contains the resolved ``config.yaml`` written by liteasr-train (the
+reference's ``--config-dir <exp>/.hydra`` flow, README.md:101-108).
+
+TPU-native redesign: the reference shards utterances over a 32-process CPU
+``multiprocessing.Pool`` (infer.py:63-94); here the whole test set is decoded
+in device batches — utterances are length-sorted, padded to shape buckets and
+pushed through the compiled beam-search pipeline.
+"""
+
+import logging
+import os
+import sys
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from liteasr_tpu import decode, tasks
+from liteasr_tpu.checkpoint import load_ckpt
+from liteasr_tpu.config import compose
+from liteasr_tpu.config.core import load_yaml
+from liteasr_tpu.train import setup_logging
+from liteasr_tpu.utils.score import levenshtein
+from liteasr_tpu.utils.misc import round_up
+
+logger = logging.getLogger("liteasr_tpu.infer")
+
+
+def infer_dataset(task, model, variables, dataset, infer_cfg,
+                  pad_time_multiple: int = 128):
+    """Decode one test set; returns (total_err, total_len)."""
+    batch_size = int(infer_cfg.get("batch_size", 8))
+    beam_size = int(infer_cfg.get("beam_size", 10))
+    ctc_weight = float(infer_cfg.get("ctc_weight", 0.5))
+
+    data = sorted(dataset.data, key=lambda a: a.xlen, reverse=True)
+    total_err, total_len = 0, 0
+    for lo in range(0, len(data), batch_size):
+        chunk = data[lo:lo + batch_size]
+        T = round_up(max(a.xlen for a in chunk), pad_time_multiple)
+        xs = np.zeros((len(chunk), T, dataset.feat_dim), np.float32)
+        xlens = np.zeros(len(chunk), np.int32)
+        for i, a in enumerate(chunk):
+            xs[i, : a.xlen] = a.x
+            xlens[i] = a.xlen
+        hyps = decode.decode_batch(
+            model, variables, jnp.asarray(xs), jnp.asarray(xlens),
+            beam_size=beam_size, ctc_weight=ctc_weight,
+            mode="attention_rescore")
+        for a, hyp_ids in zip(chunk, hyps):
+            hyp = task.ids_to_text(hyp_ids)
+            ref = a.text
+            err = levenshtein(ref, hyp)
+            total_err += err
+            total_len += len(ref)
+            res = "[X]" if ref == hyp else "[ ]"
+            logger.info("\n%s %s\n%3d %s", res, hyp, err, ref)
+    return total_err, total_len
+
+
+def infer(cfg):
+    task = tasks.setup_task(cfg.task)
+    logger.info("setting %s task...", task.__class__.__name__)
+
+    logger.info("1. load data...")
+    task.load_dataset("test", list(task.cfg.test), cfg.dataset, None)
+
+    model = task.build_model(cfg.model)
+    variables = load_ckpt(cfg.inference)
+
+    results = []
+    for test_set in task.dataset("test"):
+        err, length = infer_dataset(
+            task, model, variables, test_set, cfg.inference,
+            pad_time_multiple=cfg.dataset.get("pad_time_multiple", 128))
+        results.append((err, length))
+        logger.info("Error rate: %d / %d = %.2f%%",
+                    err, length, 100.0 * err / max(length, 1))
+    return results
+
+
+def main(argv: Optional[List[str]] = None):
+    args = list(argv if argv is not None else sys.argv[1:])
+    config_dir = None
+    if "--config-dir" in args:
+        i = args.index("--config-dir")
+        config_dir = args[i + 1]
+        del args[i:i + 2]
+    base = None
+    if config_dir:
+        base = load_yaml(os.path.join(config_dir, "config.yaml"))
+    cfg = compose(args, base=base)
+    setup_logging(cfg.common.run_dir, cfg.common.log_level,
+                  filename="infer.log")
+    return infer(cfg)
+
+
+def cli_main():
+    main()
+
+
+if __name__ == "__main__":
+    cli_main()

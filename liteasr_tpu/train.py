@@ -1,0 +1,97 @@
+"""Training CLI (reference: liteasr/train.py:21-101).
+
+Usage parity with the reference README (README.md:84-108):
+
+    liteasr-train task=asr model=my_U2 criterion=my_hybrid_ctc \\
+        optimizer=my_noam task.vocab=... task.train=... task.valid=...
+
+The composed+resolved config is written to ``<run_dir>/config.yaml`` so
+``liteasr-infer --config-dir <run_dir>`` is self-contained (the reference's
+``.hydra`` behavior).
+"""
+
+import logging
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from liteasr_tpu import tasks
+from liteasr_tpu.config import compose
+from liteasr_tpu.config.core import to_yaml
+
+logger = logging.getLogger("liteasr_tpu.train")
+
+LOG_FORMAT = (
+    "[%(asctime)s][%(levelname)s][%(name)s:%(lineno)s][%(funcName)s]"
+    " - %(message)s")
+
+
+def setup_logging(run_dir: str, level: str = "INFO",
+                  filename: str = "train.log") -> None:
+    os.makedirs(run_dir, exist_ok=True)
+    root = logging.getLogger()
+    root.setLevel(logging.NOTSET)
+    for h in list(root.handlers):
+        root.removeHandler(h)
+    console = logging.StreamHandler()
+    console.setLevel(getattr(logging, level.upper()))
+    console.setFormatter(logging.Formatter("[%(levelname)s]: %(message)s"))
+    root.addHandler(console)
+    fileh = logging.FileHandler(os.path.join(run_dir, filename))
+    fileh.setFormatter(logging.Formatter(LOG_FORMAT))
+    root.addHandler(fileh)
+
+
+def train(cfg) -> "object":
+    """Build everything and run the trainer; returns the Trainer."""
+    from liteasr_tpu.parallel import distributed_init, is_master
+    from liteasr_tpu.trainer import Trainer
+
+    distributed_init(cfg.distributed)
+
+    np.random.seed(cfg.common.seed)
+    logger.info("set random seed as %d", cfg.common.seed)
+
+    task = tasks.setup_task(cfg.task)
+    logger.info("setting %s task...", task.__class__.__name__)
+
+    logger.info("1. load data...")
+    config = (cfg.dataset, cfg.postprocess)
+    task.load_dataset("train", task.cfg.train, *config,
+                      memory_save=cfg.common.memory_save)
+    task.load_dataset("valid", task.cfg.valid, *config, memory_save=False)
+
+    model = task.build_model(cfg.model)
+    logger.info("2. build model    : %s", model.__class__.__name__)
+
+    optim = task.build_optimizer(cfg.optimizer)
+    logger.info("3. build optimizer: %s", optim.__class__.__name__)
+
+    criter = task.build_criterion(cfg.criterion)
+    logger.info("4. build criterion: %s", criter.__class__.__name__)
+
+    # persist the fully-resolved config for liteasr-infer
+    if is_master():
+        with open(os.path.join(cfg.common.run_dir, "config.yaml"), "w") as f:
+            f.write(to_yaml(cfg))
+
+    trainer = Trainer(cfg, task, model, criter, optim)
+    trainer.run()
+    return trainer
+
+
+def main(argv: Optional[List[str]] = None):
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = compose(overrides)
+    setup_logging(cfg.common.run_dir, cfg.common.log_level)
+    return train(cfg)
+
+
+def cli_main() -> None:
+    main()
+
+
+if __name__ == "__main__":
+    cli_main()

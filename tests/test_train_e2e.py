@@ -1,0 +1,75 @@
+"""End-to-end training slice on the tiny synthetic corpus: every layer L0-L9
+of SURVEY.md §1 is exercised, on an 8-device CPU mesh (dp=8)."""
+
+import numpy as np
+
+from liteasr_tpu.config import compose
+from liteasr_tpu.train import train
+
+
+def _tiny_cfg(tiny_corpus, tmp_path, extra=()):
+    return compose([
+        "task=asr", "model=my_U2", "criterion=my_hybrid_ctc",
+        "optimizer=my_noam",
+        f"task.vocab={tiny_corpus / 'vocab.txt'}",
+        f"task.train={tiny_corpus / 'train'}",
+        f"task.valid={tiny_corpus / 'valid'}",
+        f"task.test=[{tiny_corpus / 'test'}]",
+        f"task.save_dir={tmp_path / 'ckpts'}",
+        f"common.run_dir={tmp_path}",
+        # tiny model + tiny shapes
+        "model.enc_layers=2", "model.dec_layers=1",
+        "model.enc_dim=32", "model.enc_ff_dim=64",
+        "model.dec_dim=32", "model.dec_ff_dim=64",
+        "model.enc_attn_heads=2", "model.dec_attn_heads=2",
+        "dataset.batch_size=8", "dataset.pad_time_multiple=64",
+        "dataset.pad_label_multiple=8",
+        "optimization.max_epoch=2", "optimization.accum_grad=1",
+        "optimization.clip_grad_norm=5.0",
+        "optimizer.factor=0.1", "optimizer.model_dim=32",
+        "postprocess.spec_aug.time_warp=2",
+        "postprocess.spec_aug.freq_mask=4", "postprocess.spec_aug.time_mask=4",
+        *extra,
+    ])
+
+
+def test_train_two_epochs(tiny_corpus, tmp_path):
+    cfg = _tiny_cfg(tiny_corpus, tmp_path)
+    from liteasr_tpu.train import setup_logging
+
+    setup_logging(str(tmp_path))
+    trainer = train(cfg)
+    assert trainer.epoch == 2
+    assert trainer.iter > 0
+    # model checkpoints saved per epoch by the save_model trigger
+    ckpts = list((tmp_path / "ckpts").glob("model.ep.*.msgpack"))
+    assert len(ckpts) == 2
+    # valid-loss lines present in train.log (checkpoint averaging depends on
+    # this exact phrasing)
+    log = (tmp_path / "train.log").read_text()
+    assert "valid loss:" in log
+    # resolved config persisted for liteasr-infer --config-dir
+    assert (tmp_path / "config.yaml").exists()
+
+    # ---- infer: averaged checkpoint + device-batched rescore decoding ----
+    from liteasr_tpu.infer import main as infer_main
+
+    results = infer_main([
+        "--config-dir", str(tmp_path),
+        "inference.ckpt_name=2", "inference.model_avg=true",
+        "inference.avg_num=2", "inference.batch_size=4",
+        "inference.beam_size=4",
+        f"inference.avg_policy={tmp_path / 'train.log'}",
+    ])
+    assert len(results) == 1
+    err, length = results[0]
+    assert length > 0 and err >= 0  # untrained-ish model: just a sane rate
+
+
+def test_train_accum_and_losses_finite(tiny_corpus, tmp_path):
+    cfg = _tiny_cfg(tiny_corpus, tmp_path, extra=[
+        "optimization.accum_grad=2", "optimization.max_epoch=1"])
+    trainer = train(cfg)
+    losses = np.asarray([float(x) for x in
+                         np.ravel(trainer._loss_accum)]) if trainer._loss_accum else []
+    assert trainer.iter >= 1
