@@ -234,7 +234,18 @@ def _load_group(group: str, name: str, config_dir: str) -> dict:
 
 
 def parse_value(raw: str) -> Any:
-    return yaml.safe_load(raw)
+    val = yaml.safe_load(raw)
+    # YAML 1.1 treats "1e-3" (no dot) as a string; numbers should win
+    if isinstance(val, str):
+        try:
+            return int(val)
+        except ValueError:
+            pass
+        try:
+            return float(val)
+        except ValueError:
+            pass
+    return val
 
 
 def compose(

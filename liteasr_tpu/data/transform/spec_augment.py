@@ -57,6 +57,8 @@ class SpecAugment:
         fs = np.random.randint(
             0, self.cfg.freq_mask, size=(self.cfg.freq_mask_times, 2))
         for f, width in fs:
+            if num_mel - f <= 0:
+                continue
             f_zero = random.randrange(0, num_mel - f)
             if width == 0:
                 continue

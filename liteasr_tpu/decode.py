@@ -418,3 +418,131 @@ def decode_utterance(model, variables, x, mode: str = "attention_rescore",
     xlens = jnp.array([xs.shape[1]], jnp.int32)
     return decode_batch(model, variables, xs, xlens, beam_size=beam_size,
                         ctc_weight=ctc_weight, mode=mode)[0]
+
+
+# --------------------------------------------------------------------------
+# Transducer decoding
+# --------------------------------------------------------------------------
+
+def transducer_greedy(model, variables, xs, xlens,
+                      max_symbols_per_frame: int = 3,
+                      max_output_len: Optional[int] = None):
+    """Batched greedy RNN-T decode as one compiled scan over frames.
+
+    Replaces the reference's python per-frame hypothesis loop
+    (liteasr/models/transducer.py:137-206) for the fast path: at each encoder
+    frame, up to ``max_symbols_per_frame`` tokens are emitted (statically
+    unrolled), the LSTM prediction-network state advancing only on emission.
+    Returns a list of token-id lists.
+    """
+    h_enc, _ = model.apply(variables, xs, xlens, method=model.encode)
+    enc_lens = model.get_pred_len(xlens)
+    B, T, _ = h_enc.shape
+    Lmax = max_output_len or T * max_symbols_per_frame
+
+    def init_state():
+        return model.apply(variables, B, method=model.decoder_init_state)
+
+    def run(h_enc, enc_lens):
+        state0 = init_state()
+        last0 = jnp.zeros((B,), jnp.int32)  # blank starts the prediction net
+        buf0 = jnp.zeros((B, Lmax), jnp.int32)
+        len0 = jnp.zeros((B,), jnp.int32)
+
+        def frame(carry, t):
+            state, last, buf, length = carry
+            h_t = jax.lax.dynamic_index_in_dim(
+                h_enc, t, axis=1, keepdims=False)  # (B, D)
+            active0 = t < enc_lens
+
+            for _ in range(max_symbols_per_frame):
+                dec_out, new_state = model.apply(
+                    variables, last, state, method=model.decoder_step)
+                logits = model.apply(
+                    variables, h_t, dec_out, method=model.joint)  # (B, V)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                emit = (tok != 0) & active0 & (length < Lmax)
+                # on emission: write token, bump length, advance state
+                buf = jnp.where(
+                    (jnp.arange(Lmax)[None, :] == length[:, None])
+                    & emit[:, None], tok[:, None], buf)
+                length = length + emit.astype(jnp.int32)
+                last = jnp.where(emit, tok, last)
+                state = jax.tree.map(
+                    lambda n, o: jnp.where(
+                        emit.reshape((-1,) + (1,) * (n.ndim - 1)), n, o),
+                    new_state, state)
+                active0 = active0 & emit  # stop the frame on first blank
+
+            return (state, last, buf, length), None
+
+        (_, _, buf, length), _ = jax.lax.scan(
+            frame, (state0, last0, buf0, len0), jnp.arange(T))
+        return buf, length
+
+    buf, length = jax.jit(run)(h_enc, enc_lens)
+    buf, length = np.asarray(buf), np.asarray(length)
+    return [buf[b, : length[b]].tolist() for b in range(B)]
+
+
+def transducer_beam_search_utt(model, variables, x,
+                               beam_size: int = 10,
+                               max_symbols_per_frame: int = 5):
+    """Reference-semantics transducer beam search for one utterance
+    (liteasr/models/transducer.py:137-206): per-frame best-first expansion
+    with a prediction-network state cache keyed by the emitted prefix,
+    length-normalized final pick. Host loop drives jitted steps."""
+    xs = jnp.asarray(x)
+    if xs.ndim == 2:
+        xs = xs[None]
+    xlens = jnp.array([xs.shape[1]], jnp.int32)
+    h_enc, _ = model.apply(variables, xs, xlens, method=model.encode)
+    T = int(model.get_pred_len(xlens)[0])
+
+    step_fn = jax.jit(lambda tok, state: model.apply(
+        variables, tok, state, method=model.decoder_step))
+    joint_fn = jax.jit(lambda h, d: jax.nn.log_softmax(
+        model.apply(variables, h, d, method=model.joint), axis=-1))
+
+    state0 = model.apply(variables, 1, method=model.decoder_init_state)
+    hyps = [{"score": 0.0, "yseq": [0], "state": state0}]
+    cache = {}
+
+    for t in range(T):
+        h_t = h_enc[:, t]  # (1, D)
+        frontier = hyps
+        kept = []
+        steps = 0
+        while len(kept) < beam_size and frontier and steps < 100:
+            steps += 1
+            best = max(frontier, key=lambda h: h["score"])
+            frontier.remove(best)
+            key = tuple(best["yseq"])
+            if key in cache:
+                dec_out, new_state = cache[key]
+            else:
+                tok = jnp.array([best["yseq"][-1]], jnp.int32)
+                dec_out, new_state = step_fn(tok, best["state"])
+                cache[key] = (dec_out, new_state)
+            logp = np.asarray(joint_fn(h_t, dec_out))[0]  # (V,)
+            order = np.argsort(-logp)[: beam_size + 1]
+            for k in order:
+                k = int(k)
+                cand = {
+                    "score": best["score"] + float(logp[k]),
+                    "yseq": list(best["yseq"]),
+                    "state": best["state"],
+                }
+                if k == 0:
+                    kept.append(cand)
+                else:
+                    cand["yseq"].append(k)
+                    cand["state"] = new_state
+                    frontier.append(cand)
+        if not kept:  # expansion cap hit before any blank: keep the frontier
+            kept = frontier if frontier else hyps
+        hyps = sorted(kept, key=lambda h: h["score"], reverse=True)[:beam_size]
+        cache = {}
+
+    best = max(hyps, key=lambda h: h["score"] / max(len(h["yseq"]), 1))
+    return best["yseq"][1:]  # strip leading blank

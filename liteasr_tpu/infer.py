@@ -46,10 +46,14 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
         for i, a in enumerate(chunk):
             xs[i, : a.xlen] = a.x
             xlens[i] = a.xlen
-        hyps = decode.decode_batch(
-            model, variables, jnp.asarray(xs), jnp.asarray(xlens),
-            beam_size=beam_size, ctc_weight=ctc_weight,
-            mode="attention_rescore")
+        if hasattr(model, "joint"):  # transducer family
+            hyps = decode.transducer_greedy(
+                model, variables, jnp.asarray(xs), jnp.asarray(xlens))
+        else:
+            hyps = decode.decode_batch(
+                model, variables, jnp.asarray(xs), jnp.asarray(xlens),
+                beam_size=beam_size, ctc_weight=ctc_weight,
+                mode=infer_cfg.get("mode", "attention_rescore"))
         for a, hyp_ids in zip(chunk, hyps):
             hyp = task.ids_to_text(hyp_ids)
             ref = a.text

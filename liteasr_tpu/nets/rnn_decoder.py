@@ -1,0 +1,52 @@
+"""LSTM prediction network for the transducer.
+
+Reference: liteasr/nets/rnn_decoder.py:10-80 — embedding(pad=0) + N LSTMCell
+layers with an explicit python time loop. Here the time loop is a
+``flax.linen.RNN`` (``lax.scan`` under the hood) per layer, and single-step
+stepping for decoding is exposed via ``step``.
+"""
+
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class RNNDecoder(nn.Module):
+    vocab_size: int
+    h_dim: int
+    h_units: int
+    n_layer: int
+    dropout_rate: float
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size, self.h_dim, dtype=self.dtype)
+        self.rnns = [
+            nn.RNN(nn.OptimizedLSTMCell(self.h_units, dtype=self.dtype),
+                   name=f"rnn_{i}")
+            for i in range(self.n_layer)
+        ]
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, ys, train: bool = False):
+        """:param ys: (B, L) token ids -> (B, L, h_units)."""
+        h = self.embed(ys)
+        h = self.dropout(h, deterministic=not train)
+        for i in range(self.n_layer):
+            h = self.rnns[i](h)
+            h = self.dropout(h, deterministic=not train)
+        return h
+
+    def init_state(self, batch: int) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+        zeros = jnp.zeros((batch, self.h_units), self.dtype)
+        return [(zeros, zeros) for _ in range(self.n_layer)]
+
+    def step(self, tok, state):
+        """One decode step: tok (B,) int -> (out (B, h_units), new_state)."""
+        h = self.embed(tok)
+        new_state = []
+        for i in range(self.n_layer):
+            carry, h = self.rnns[i].cell(tuple(state[i]), h)
+            new_state.append(carry)
+        return h, new_state
