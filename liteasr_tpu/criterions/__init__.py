@@ -25,6 +25,12 @@ class LiteasrLoss:
         """Return (scalar loss, aux dict). Must be jit-traceable."""
         raise NotImplementedError
 
+    def init_variables(self, model, rng, batch):
+        """Initialize model variables for this criterion's batch layout."""
+        return model.init(
+            {"params": rng}, batch["xs"], batch["xlens"], batch["ys"],
+            batch["ylens"], train=False)
+
     @classmethod
     def build_criterion(cls, cfg, task=None):
         return cls(cfg, task)

@@ -1,0 +1,65 @@
+"""wav2vec 2.0 contrastive loss.
+
+Reference: liteasr/criterions/wav2vec_loss.py:15-37 — CE over (M*B, N+1)
+logits with the positive at index 0. Here the masked-frame gather is replaced
+by a mask-weighted CE over all frames (fixed shapes; see models/wav2vec2.py).
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from liteasr_tpu.config import LiteasrDataclass
+from liteasr_tpu.criterions import LiteasrLoss, register_criterion
+
+
+@dataclass
+class Wav2Vec2LossConfig(LiteasrDataclass):
+    name: Optional[str] = field(default="wav2vec")
+    infonce: bool = False
+
+
+@register_criterion("wav2vec", dataclass=Wav2Vec2LossConfig)
+class Wav2Vec2Loss(LiteasrLoss):
+    def __init__(self, cfg, task=None):
+        super().__init__(cfg)
+
+    @classmethod
+    def build_criterion(cls, cfg, task=None):
+        return cls(cfg, task)
+
+    def init_variables(self, model, rng, batch):
+        return model.init({"params": rng}, batch["xs"], train=False)
+
+    def __call__(self, model, variables, batch, rngs=None, train: bool = True):
+        xs = batch["xs"]  # (B, T) raw waveform
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones(xs.shape[0], dtype=jnp.float32)
+
+        # anneal the gumbel temperature with the host step counter if given
+        temp = batch.get("gumbel_temp", 2.0)
+
+        if train:
+            (logits, mask), new_model_state = model.apply(
+                variables, xs, train=True, temp=temp, rngs=rngs,
+                mutable=["batch_stats"])
+        else:
+            logits, mask = model.apply(variables, xs, train=False, temp=temp,
+                                       rngs=rngs)
+            new_model_state = {}
+
+        # logits: (N+1, B, F); positive at index 0
+        logp = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=0)  # over candidates
+        nll = -logp[0]  # (B, F)
+        weight = mask.astype(jnp.float32) * valid[:, None]
+        denom = jnp.maximum(weight.sum(), 1.0)
+        loss = (nll * weight).sum() / denom
+
+        # accuracy over masked frames (observability)
+        correct = (jnp.argmax(logits, axis=0) == 0).astype(jnp.float32)
+        acc = (correct * weight).sum() / denom
+        return loss, {"accuracy": acc, "model_state": new_model_state}

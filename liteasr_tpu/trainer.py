@@ -16,7 +16,6 @@ backward, DDP no_sync, clip, NaN-skip, trigger-decorated events) maps to:
 
 import logging
 import time
-from functools import partial
 from typing import Any, Optional
 
 import flax.struct
@@ -88,16 +87,11 @@ class Trainer:
             prefetch=max(2, cfg.dataset.get("num_workers", 2)))
         self.valid_set = valid_set
 
-        # ---- init state ----
+        # ---- init state (shapes from the first real batch) ----
         rng = jax.random.PRNGKey(cfg.common.seed)
         self._base_dropout_key = jax.random.fold_in(rng, 1)
-        feat_dim = getattr(task, "feat_dim", None) or train_set.feat_dim
-        dummy = self._dummy_batch(feat_dim)
-        variables = jax.jit(
-            partial(model.init, train=False),
-            static_argnames=())(
-            {"params": rng}, dummy["xs"], dummy["xlens"], dummy["ys"],
-            dummy["ylens"])
+        init_batch = train_set.collator(train_set[0])
+        variables = criterion.init_variables(model, rng, init_batch)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         n_params = sum(x.size for x in jax.tree.leaves(params))
@@ -115,16 +109,19 @@ class Trainer:
         bsh = batch_sharding(self.mesh)
 
         def train_step(state: TrainState, batch):
-            dropout_key = jax.random.fold_in(
-                self._base_dropout_key, state.step)
+            step_key = jax.random.fold_in(self._base_dropout_key, state.step)
+            rngs = {
+                name: jax.random.fold_in(step_key, i)
+                for i, name in enumerate(
+                    ("dropout", "mask", "negatives", "gumbel"))
+            }
 
             def loss_fn(params):
                 variables = {"params": params}
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
                 loss, aux = self.criterion(
-                    self.model, variables, batch,
-                    rngs={"dropout": dropout_key}, train=True)
+                    self.model, variables, batch, rngs=rngs, train=True)
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(
@@ -157,18 +154,6 @@ class Trainer:
             eval_step, in_shardings=(repl, bsh), out_shardings=repl)
 
         self._add_events()
-
-    def _dummy_batch(self, feat_dim: int):
-        rows = local_dp_size(self.mesh)
-        t = int(self.cfg.dataset.get("pad_time_multiple", 128))
-        u = int(self.cfg.dataset.get("pad_label_multiple", 16))
-        return {
-            "xs": jnp.zeros((rows, t, feat_dim), jnp.float32),
-            "xlens": jnp.full((rows,), t, jnp.int32),
-            "ys": jnp.zeros((rows, u), jnp.int32),
-            "ylens": jnp.full((rows,), u, jnp.int32),
-            "valid": jnp.ones((rows,), jnp.float32),
-        }
 
     # ------------------------------------------------------------- events
 
