@@ -86,6 +86,9 @@ class SpecAugmentConfig:
 class PostProcessConfig(LiteasrDataclass):
     spec_aug: SpecAugmentConfig = field(default_factory=SpecAugmentConfig)
     workflow: List[str] = field(default_factory=lambda: ["spec_aug"])
+    # run augmentation batched on-device inside the jitted train step
+    # (liteasr_tpu/ops/spec_augment.py) instead of per-sample on host
+    on_device: bool = True
 
 
 @dataclass

@@ -116,8 +116,11 @@ class AudioFileDataset:
         self.batchify_policy = None
         self.dataset_cfg = dataset_cfg
         self.dump_path = Path(data_dir, ".dump")
+        # host-side transforms only when the device pipeline is off
         self.postprocess = (
-            PostProcess(postprocess_cfg) if postprocess_cfg is not None else None)
+            PostProcess(postprocess_cfg)
+            if postprocess_cfg is not None
+            and not postprocess_cfg.get("on_device", False) else None)
         # the trainer sets these: rows divisible by the per-host dp degree,
         # and this host's row shard
         self.batch_multiple = 1

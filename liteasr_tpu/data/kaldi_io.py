@@ -117,6 +117,15 @@ def load_mat(ark_path: str) -> np.ndarray:
     path positioned at its first entry's data."""
     path, _, offset = ark_path.rpartition(":")
     if path and offset.isdigit():
+        if not path.endswith("|"):  # plain file: try the C++ fast path
+            try:
+                from liteasr_tpu import native
+
+                mat = native.load_fm(path, int(offset))
+                if mat is not None:
+                    return mat
+            except Exception:
+                pass
         with open_like_kaldi(path) as f:
             f.seek(int(offset))
             return read_kaldi(f)

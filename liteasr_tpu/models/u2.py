@@ -43,6 +43,8 @@ class U2Config(LiteasrDataclass):
     enc_ff_dropout_rate: float = II("model.enc_dropout_rate")
     enc_layers: int = 12
     activation: str = "swish"
+    # streaming: chunked causal encoder attention (0 = offline full context)
+    static_chunk_size: int = 0
 
     # attention decoder
     dec_arch: str = "transformer"
@@ -77,6 +79,7 @@ class U2(LiteasrModel):
     enc_ff_dropout_rate: float = 0.0
     enc_layers: int = 12
     activation: str = "swish"
+    static_chunk_size: int = 0
     dec_dim: int = 256
     dec_ff_dim: int = 2048
     dec_attn_heads: int = 4
@@ -109,6 +112,7 @@ class U2(LiteasrModel):
             ff_dropout_rate=self.enc_ff_dropout_rate,
             activation=self.activation,
             arch=self.enc_arch,
+            static_chunk_size=self.static_chunk_size,
             dtype=self.dtype,
         )
         self.decoder = TransformerDecoder(
@@ -206,6 +210,7 @@ class U2(LiteasrModel):
             enc_ff_dropout_rate=cfg.enc_ff_dropout_rate,
             enc_layers=cfg.enc_layers,
             activation=cfg.activation,
+            static_chunk_size=int(cfg.get("static_chunk_size", 0)),
             dec_dim=cfg.dec_dim,
             dec_ff_dim=cfg.dec_ff_dim,
             dec_attn_heads=cfg.dec_attn_heads,

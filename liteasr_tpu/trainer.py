@@ -105,6 +105,22 @@ class Trainer:
         repl = replicated_sharding(self.mesh)
         self.state = jax.device_put(state, repl)
 
+        # ---- on-device SpecAugment (ops/spec_augment.py) ----
+        pp = cfg.get("postprocess") or {}
+        self._specaug_kwargs = None
+        if (pp.get("on_device", False)
+                and "spec_aug" in (pp.get("workflow") or [])
+                and "xlens" in init_batch):
+            sa = pp.get("spec_aug") or {}
+            self._specaug_kwargs = dict(
+                time_warp=int(sa.get("time_warp", 5)),
+                freq_mask=int(sa.get("freq_mask", 30)),
+                freq_mask_times=int(sa.get("freq_mask_times", 2)),
+                time_mask=int(sa.get("time_mask", 40)),
+                time_mask_times=int(sa.get("time_mask_times", 2)),
+                replace_with_zero=bool(sa.get("replace_with_zero", False)),
+            )
+
         # ---- compiled steps ----
         bsh = batch_sharding(self.mesh)
 
@@ -115,6 +131,14 @@ class Trainer:
                 for i, name in enumerate(
                     ("dropout", "mask", "negatives", "gumbel"))
             }
+            if self._specaug_kwargs is not None:
+                from liteasr_tpu.ops.spec_augment import spec_augment
+
+                sa_key = jax.random.fold_in(step_key, 17)
+                batch = dict(batch)
+                batch["xs"] = spec_augment(
+                    sa_key, batch["xs"], batch["xlens"],
+                    **self._specaug_kwargs)
 
             def loss_fn(params):
                 variables = {"params": params}

@@ -6,6 +6,18 @@ this pure-Python one is the always-available fallback.
 
 
 def levenshtein(a, b) -> int:
+    try:
+        from liteasr_tpu import native
+
+        out = native.levenshtein(a, b)
+        if out is not None:
+            return out
+    except Exception:  # pragma: no cover - any native issue -> pure python
+        pass
+    return _levenshtein_py(a, b)
+
+
+def _levenshtein_py(a, b) -> int:
     n, m = len(a), len(b)
     if n > m:
         a, b = b, a
