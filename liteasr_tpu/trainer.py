@@ -103,7 +103,19 @@ class Trainer:
                            batch_stats=batch_stats, opt_state=opt_state)
 
         repl = replicated_sharding(self.mesh)
-        self.state = jax.device_put(state, repl)
+        # tensor-parallel param/optimizer sharding over the 'tp' axis
+        # (no-op replication when tp == 1); activations follow via GSPMD
+        from liteasr_tpu.parallel.sharding import (
+            param_specs, state_specs, to_shardings)
+
+        self._state_sharding = TrainState(
+            step=repl,
+            params=to_shardings(self.mesh, param_specs(params)),
+            batch_stats=jax.tree.map(lambda _: repl, batch_stats),
+            opt_state=to_shardings(
+                self.mesh, state_specs(params, opt_state)),
+        )
+        self.state = jax.device_put(state, self._state_sharding)
 
         # ---- on-device SpecAugment (ops/spec_augment.py) ----
         pp = cfg.get("postprocess") or {}
@@ -170,12 +182,13 @@ class Trainer:
 
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(repl, bsh),
-            out_shardings=(repl, repl),
+            in_shardings=(self._state_sharding, bsh),
+            out_shardings=(self._state_sharding, repl),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
-            eval_step, in_shardings=(repl, bsh), out_shardings=repl)
+            eval_step, in_shardings=(self._state_sharding, bsh),
+            out_shardings=repl)
 
         self._add_events()
 
