@@ -48,6 +48,10 @@ class CommonConfig(LiteasrDataclass):
     run_dir: str = "."  # where train.log / resolved config land
     log_level: str = "INFO"
     profile_dir: Optional[str] = None  # jax.profiler trace output (aux subsystem)
+    # resume full training state (params+optimizer+counters) from
+    # <task.save_dir>/train_state.msgpack ("auto") or an explicit path.
+    # The reference cannot resume mid-training (SURVEY.md §5).
+    resume: Optional[str] = None
 
 
 @dataclass

@@ -134,12 +134,18 @@ class AudioFileDataset:
         _ts = TextSheet(data_dir, vocab=vocab, delimiter=delimiter)
         assert len(_as) == len(_ts)
 
+        from liteasr_tpu.utils.progress_bar import ProgressBar
+
+        pb = ProgressBar(total=len(_as), title="loaded data") \
+            if len(_as) >= 5000 else None
         for audio_info, text_info in zip(_as, _ts):
             uttid, fd, start, shape = audio_info
             uttid_t, tokenids, text = text_info
             assert uttid_t == uttid
             self.data.append(
                 Audio(fd, start, shape, tokenids, text if keep_raw else None))
+            if pb:
+                pb.update(len(self.data))
             if _is_other:
                 break
 

@@ -21,7 +21,12 @@ class RNNDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.embed = nn.Embed(self.vocab_size, self.h_dim, dtype=self.dtype)
+        # reference init: embed ~ N(0, 1), linears lecun-normal (the flax
+        # default); the LSTM forget-bias=1 detail is left to flax defaults
+        # (liteasr/models/transducer.py:243-251)
+        self.embed = nn.Embed(
+            self.vocab_size, self.h_dim, dtype=self.dtype,
+            embedding_init=nn.initializers.normal(stddev=1.0))
         self.rnns = [
             nn.RNN(nn.OptimizedLSTMCell(self.h_units, dtype=self.dtype),
                    name=f"rnn_{i}")

@@ -116,6 +116,7 @@ class Trainer:
                 self.mesh, state_specs(params, opt_state)),
         )
         self.state = jax.device_put(state, self._state_sharding)
+        self._maybe_resume()
 
         # ---- on-device SpecAugment (ops/spec_augment.py) ----
         pp = cfg.get("postprocess") or {}
@@ -191,6 +192,50 @@ class Trainer:
             out_shardings=repl)
 
         self._add_events()
+
+    # ----------------------------------------------------------- resume
+
+    def _train_state_path(self) -> str:
+        import os
+
+        return os.path.join(
+            getattr(self.task, "save_dir", "."), "train_state.msgpack")
+
+    def _maybe_resume(self):
+        import json
+        import os
+
+        resume = self.cfg.common.get("resume")
+        if not resume:
+            return
+        path = resume if resume != "auto" and os.path.isfile(str(resume)) \
+            else self._train_state_path()
+        if not os.path.isfile(path):
+            logger.warning("resume requested but %s not found", path)
+            return
+        from liteasr_tpu import checkpoint
+
+        host_state = jax.device_get(self.state)
+        restored = checkpoint.restore_train_state(path, host_state)
+        self.state = jax.device_put(restored, self._state_sharding)
+        meta_path = path + ".meta"
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.iter = int(meta.get("iter", 0))
+            self.train_iter.epoch = int(meta.get("epoch", 0))
+        logger.info("resumed training state from %s (iter %d, epoch %d)",
+                    path, self.iter, self.epoch)
+
+    def _save_train_state(self):
+        import json
+
+        from liteasr_tpu import checkpoint
+
+        path = self._train_state_path()
+        checkpoint.save_train_state(path, self.state)
+        with open(path + ".meta", "w") as f:
+            json.dump({"iter": self.iter, "epoch": self.epoch}, f)
 
     # ------------------------------------------------------------- events
 
@@ -286,6 +331,7 @@ class Trainer:
             if self.state.batch_stats:
                 variables["batch_stats"] = self.state.batch_stats
             self.task.save_model(CKPT_TEMPLATE.format(self.epoch), variables)
+            self._save_train_state()
 
     def inference(self):
         if is_master():
