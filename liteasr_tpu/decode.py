@@ -369,42 +369,60 @@ def tokens_to_list(tokens: np.ndarray, length: int) -> list:
     return [int(t) for t in np.asarray(tokens)[:int(length)]]
 
 
+# jitted end-to-end decode pipelines, cached per (model, mode, knobs) —
+# without this every model.apply outside jit dispatches op-by-op, which
+# dominates decode latency
+_PIPELINE_CACHE: dict = {}
+
+
+def _get_pipeline(model, mode: str, beam_size: int, ctc_weight: float):
+    key = (id(model), mode, beam_size, ctc_weight)
+    fn = _PIPELINE_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def pipeline(variables, xs, xlens):
+        h_enc, enc_mask = model.apply(
+            variables, xs, xlens, method=model.encode)
+        enc_lens = model.get_pred_len(xlens)
+        ctc_logp = jax.nn.log_softmax(
+            model.apply(variables, h_enc,
+                        method=model.ctc_logits).astype(jnp.float32), axis=-1)
+        if mode == "ctc_greedy":
+            return ctc_greedy(ctc_logp, enc_lens)
+        prefixes, plens, scores = ctc_prefix_beam_search(
+            ctc_logp, enc_lens, beam_size=beam_size)
+        if mode == "ctc_prefix_beam_search":
+            return prefixes[:, 0], plens[:, 0]
+        if mode == "attention":
+            return attention_beam_search(
+                model, variables, h_enc, enc_mask, beam_size=beam_size)
+        assert mode == "attention_rescore", mode
+        return attention_rescore(
+            model, variables, h_enc, enc_mask, prefixes, plens, scores,
+            ctc_weight=ctc_weight)
+
+    fn = jax.jit(pipeline)
+    _PIPELINE_CACHE[key] = fn
+    return fn
+
+
 def decode_batch(model, variables, xs, xlens, beam_size: int = 10,
                  ctc_weight: float = 0.5, mode: str = "attention_rescore"):
     """Decode a padded batch of utterances. Returns list of token-id lists."""
-    h_enc, enc_mask = model.apply(
-        variables, xs, xlens, method=model.encode)
-    enc_lens = model.get_pred_len(xlens)
-    ctc_logp = jax.nn.log_softmax(
-        model.apply(variables, h_enc,
-                    method=model.ctc_logits).astype(jnp.float32), axis=-1)
+    pipeline = _get_pipeline(model, mode, beam_size, ctc_weight)
+    out = pipeline(variables, xs, xlens)
 
     if mode == "ctc_greedy":
-        ids, keep = ctc_greedy(ctc_logp, enc_lens)
-        ids, keep = np.asarray(ids), np.asarray(keep)
+        ids, keep = (np.asarray(x) for x in out)
         return [ids[b][keep[b]].tolist() for b in range(ids.shape[0])]
 
-    prefixes, plens, scores = ctc_prefix_beam_search(
-        ctc_logp, enc_lens, beam_size=beam_size)
-    if mode == "ctc_prefix_beam_search":
-        pre, ln = np.asarray(prefixes[:, 0]), np.asarray(plens[:, 0])
-        return [tokens_to_list(pre[b], ln[b]) for b in range(pre.shape[0])]
-
     if mode == "attention":
-        hyp, lens = attention_beam_search(
-            model, variables, h_enc, enc_mask, beam_size=beam_size)
-        hyp, lens = np.asarray(hyp), np.asarray(lens)
-        out = []
-        for b in range(hyp.shape[0]):
-            toks = [int(t) for t in hyp[b][:int(lens[b])] if t != model.eos]
-            out.append(toks)
-        return out
+        hyp, lens = (np.asarray(x) for x in out)
+        return [[int(t) for t in hyp[b][:int(lens[b])] if t != model.eos]
+                for b in range(hyp.shape[0])]
 
-    assert mode == "attention_rescore", mode
-    best_hyp, best_len = attention_rescore(
-        model, variables, h_enc, enc_mask, prefixes, plens, scores,
-        ctc_weight=ctc_weight)
-    best_hyp, best_len = np.asarray(best_hyp), np.asarray(best_len)
+    best_hyp, best_len = (np.asarray(x) for x in out)
     return [tokens_to_list(best_hyp[b], best_len[b])
             for b in range(best_hyp.shape[0])]
 
@@ -435,16 +453,15 @@ def transducer_greedy(model, variables, xs, xlens,
     unrolled), the LSTM prediction-network state advancing only on emission.
     Returns a list of token-id lists.
     """
-    h_enc, _ = model.apply(variables, xs, xlens, method=model.encode)
-    enc_lens = model.get_pred_len(xlens)
-    B, T, _ = h_enc.shape
-    Lmax = max_output_len or T * max_symbols_per_frame
+    B = xs.shape[0]
+    T_sub = int(model.get_pred_len(jnp.array([xs.shape[1]]))[0])
+    Lmax = max_output_len or T_sub * max_symbols_per_frame
 
-    def init_state():
-        return model.apply(variables, B, method=model.decoder_init_state)
-
-    def run(h_enc, enc_lens):
-        state0 = init_state()
+    def run(variables, xs, xlens):
+        h_enc, _ = model.apply(variables, xs, xlens, method=model.encode)
+        enc_lens = model.get_pred_len(xlens)
+        T = h_enc.shape[1]
+        state0 = model.apply(variables, B, method=model.decoder_init_state)
         last0 = jnp.zeros((B,), jnp.int32)  # blank starts the prediction net
         buf0 = jnp.zeros((B, Lmax), jnp.int32)
         len0 = jnp.zeros((B,), jnp.int32)
@@ -480,7 +497,13 @@ def transducer_greedy(model, variables, xs, xlens,
             frame, (state0, last0, buf0, len0), jnp.arange(T))
         return buf, length
 
-    buf, length = jax.jit(run)(h_enc, enc_lens)
+    # B and Lmax are baked into the closure -> must key the cache on them
+    key = (id(model), "transducer_greedy", max_symbols_per_frame, B, Lmax)
+    fn = _PIPELINE_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(run)
+        _PIPELINE_CACHE[key] = fn
+    buf, length = fn(variables, xs, xlens)
     buf, length = np.asarray(buf), np.asarray(length)
     return [buf[b, : length[b]].tolist() for b in range(B)]
 
