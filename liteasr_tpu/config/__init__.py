@@ -71,6 +71,10 @@ class DatasetConfig(LiteasrDataclass):
     pad_time_multiple: int = 128
     pad_label_multiple: int = 16
     num_workers: int = 2  # host-side prefetch threads
+    # on-the-fly device features from wav.scp waveforms (ops/fbank.py);
+    # when enabled, length knobs (max_len_in etc.) are in SAMPLES
+    fbank: bool = False
+    num_mel_bins: int = 80
 
 
 @dataclass

@@ -39,6 +39,7 @@ def collate_batch(
     feat_dim: Optional[int] = None,
     num_shards: int = 1,
     shard_index: int = 0,
+    raw_wave: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Pad a list of utterances into one fixed-shape batch dict.
 
@@ -59,14 +60,18 @@ def collate_batch(
     lo = shard_index * rows
     local = [samples[i] if i < B else None for i in range(lo, lo + rows)]
 
-    D = feat_dim
-    if D is None:
-        probe = next(s for s in samples if s is not None)
-        D = probe.x.shape[-1]
-
-    out_x = np.zeros((rows, T, D), dtype=np.float32)
+    if raw_wave:
+        out_x = np.zeros((rows, T), dtype=np.float32)
+    else:
+        D = feat_dim
+        if D is None:
+            probe = next(s for s in samples if s is not None)
+            D = probe.x.shape[-1]
+        out_x = np.zeros((rows, T, D), dtype=np.float32)
     out_y = np.full((rows, U), IGNORE, dtype=np.int32)
-    out_xlen = np.full(rows, min(7, T), dtype=np.int32)  # dummy rows
+    # dummy rows: enough frames/samples so the fbank front-end emits >= 7
+    # frames and the conv subsampling >= 1 frame
+    out_xlen = np.full(rows, min(1360 if raw_wave else 7, T), dtype=np.int32)
     out_ylen = np.zeros(rows, dtype=np.int32)
     valid = np.zeros(rows, dtype=np.float32)
 
@@ -74,7 +79,7 @@ def collate_batch(
         if sample is None:
             continue
         x = sample.x
-        if train and postprocess is not None:
+        if not raw_wave and train and postprocess is not None:
             x = postprocess(x)
         x = np.asarray(x, dtype=np.float32)
         y = sample.y if sample.y is not None else np.zeros(0, dtype=np.int32)
@@ -149,7 +154,19 @@ class AudioFileDataset:
             if _is_other:
                 break
 
-        self.feat_dim = self.data[0].x.shape[-1]
+        # on-the-fly fbank: items are raw waveforms, features computed on
+        # device (ops/fbank.py); feat_dim is the mel-bin count
+        self.fbank = bool(dataset_cfg.get("fbank", False)) if dataset_cfg \
+            else False
+        self.num_mel_bins = int(dataset_cfg.get("num_mel_bins", 80)) \
+            if dataset_cfg else 80
+        if self.fbank:
+            assert self.data[0].start is not None, (
+                "dataset.fbank=true expects wav.scp waveforms, "
+                f"but {data_dir} provides precomputed features")
+            self.feat_dim = self.num_mel_bins
+        else:
+            self.feat_dim = self.data[0].x.shape[-1]
 
         if not memory_save or _is_prior:
             if dataset_cfg is not None and dataset_cfg.get("batch_size"):
@@ -197,6 +214,7 @@ class AudioFileDataset:
             feat_dim=self.feat_dim,
             num_shards=self.num_shards,
             shard_index=self.shard_index,
+            raw_wave=self.fbank,
         )
 
     def __getitem__(self, index):

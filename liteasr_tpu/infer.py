@@ -36,16 +36,27 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
     beam_size = int(infer_cfg.get("beam_size", 10))
     ctc_weight = float(infer_cfg.get("ctc_weight", 0.5))
 
+    fbank = bool(getattr(dataset, "fbank", False))
     data = sorted(dataset.data, key=lambda a: a.xlen, reverse=True)
     total_err, total_len = 0, 0
     for lo in range(0, len(data), batch_size):
         chunk = data[lo:lo + batch_size]
         T = round_up(max(a.xlen for a in chunk), pad_time_multiple)
-        xs = np.zeros((len(chunk), T, dataset.feat_dim), np.float32)
+        if fbank:
+            xs = np.zeros((len(chunk), T), np.float32)
+        else:
+            xs = np.zeros((len(chunk), T, dataset.feat_dim), np.float32)
         xlens = np.zeros(len(chunk), np.int32)
         for i, a in enumerate(chunk):
             xs[i, : a.xlen] = a.x
             xlens[i] = a.xlen
+        if fbank:
+            from liteasr_tpu.ops.fbank import log_mel_fbank
+
+            feats, flens = log_mel_fbank(
+                jnp.asarray(xs), jnp.asarray(xlens),
+                num_mel_bins=dataset.num_mel_bins)
+            xs, xlens = np.asarray(feats), np.asarray(flens)
         if hasattr(model, "joint"):  # transducer family
             hyps = decode.transducer_greedy(
                 model, variables, jnp.asarray(xs), jnp.asarray(xlens))

@@ -87,10 +87,15 @@ class Trainer:
             prefetch=max(2, cfg.dataset.get("num_workers", 2)))
         self.valid_set = valid_set
 
+        # ---- on-device fbank front-end (ops/fbank.py) ----
+        self._fbank_bins = None
+        if cfg.dataset.get("fbank", False):
+            self._fbank_bins = int(cfg.dataset.get("num_mel_bins", 80))
+
         # ---- init state (shapes from the first real batch) ----
         rng = jax.random.PRNGKey(cfg.common.seed)
         self._base_dropout_key = jax.random.fold_in(rng, 1)
-        init_batch = train_set.collator(train_set[0])
+        init_batch = self._apply_frontend(train_set.collator(train_set[0]))
         variables = criterion.init_variables(model, rng, init_batch)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -144,6 +149,7 @@ class Trainer:
                 for i, name in enumerate(
                     ("dropout", "mask", "negatives", "gumbel"))
             }
+            batch = self._apply_frontend(batch)
             if self._specaug_kwargs is not None:
                 from liteasr_tpu.ops.spec_augment import spec_augment
 
@@ -174,6 +180,7 @@ class Trainer:
             return new_state, loss
 
         def eval_step(state: TrainState, batch):
+            batch = self._apply_frontend(batch)
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
@@ -192,6 +199,19 @@ class Trainer:
             out_shardings=repl)
 
         self._add_events()
+
+    def _apply_frontend(self, batch):
+        """Raw-waveform batches -> log-mel features (traceable)."""
+        if self._fbank_bins is None or batch["xs"].ndim != 2:
+            return batch
+        from liteasr_tpu.ops.fbank import log_mel_fbank
+
+        feats, feat_lens = log_mel_fbank(
+            batch["xs"], batch["xlens"], num_mel_bins=self._fbank_bins)
+        out = dict(batch)
+        out["xs"] = feats
+        out["xlens"] = feat_lens
+        return out
 
     # ----------------------------------------------------------- resume
 
