@@ -42,10 +42,13 @@ def label_smoothed_kl(h_attn, tgt_attn, vocab_size: int, smoothing: float,
     off = smoothing / (vocab_size - 1)
     on = 1.0 - smoothing
 
-    # sum_v q_v * (log q_v - logp_v), with the one-hot mass handled separately
-    # q*log(q) entropy constant (0 when q==0)
-    ent = off * jnp.log(jnp.maximum(off, 1e-38)) * (vocab_size - 1) \
-        + on * jnp.log(jnp.maximum(on, 1e-38))
+    # sum_v q_v * (log q_v - logp_v), with the one-hot mass handled separately.
+    # x*log(x) with x==0 must be exactly 0 (XLA flushes subnormal eps to zero,
+    # so a naive log(max(x, tiny)) produces 0 * -inf = NaN when smoothing=0)
+    def xlogx(p: float) -> float:
+        return p * float(jnp.log(p)) if p > 0 else 0.0
+
+    ent = xlogx(off) * (vocab_size - 1) + xlogx(on)
     cross = off * logp.sum(axis=-1) \
         + (on - off) * jnp.take_along_axis(logp, tgt_safe[:, None], axis=1)[:, 0]
     kl = ent - cross

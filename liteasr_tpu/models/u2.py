@@ -45,6 +45,9 @@ class U2Config(LiteasrDataclass):
     activation: str = "swish"
     # streaming: chunked causal encoder attention (0 = offline full context)
     static_chunk_size: int = 0
+    # dynamic chunk training: random chunk width per step (streaming-capable
+    # model from one training run)
+    dynamic_chunk: bool = False
 
     # attention decoder
     dec_arch: str = "transformer"
@@ -80,6 +83,7 @@ class U2(LiteasrModel):
     enc_layers: int = 12
     activation: str = "swish"
     static_chunk_size: int = 0
+    dynamic_chunk: bool = False
     dec_dim: int = 256
     dec_ff_dim: int = 2048
     dec_attn_heads: int = 4
@@ -113,6 +117,7 @@ class U2(LiteasrModel):
             activation=self.activation,
             arch=self.enc_arch,
             static_chunk_size=self.static_chunk_size,
+            dynamic_chunk=self.dynamic_chunk,
             dtype=self.dtype,
         )
         self.decoder = TransformerDecoder(
@@ -211,6 +216,7 @@ class U2(LiteasrModel):
             enc_layers=cfg.enc_layers,
             activation=cfg.activation,
             static_chunk_size=int(cfg.get("static_chunk_size", 0)),
+            dynamic_chunk=bool(cfg.get("dynamic_chunk", False)),
             dec_dim=cfg.dec_dim,
             dec_ff_dim=cfg.dec_ff_dim,
             dec_attn_heads=cfg.dec_attn_heads,

@@ -9,6 +9,7 @@ reference's convolution simulation exactly: ``mask[:, :-2:2][:, :-2:2]``
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from liteasr_tpu.nets.common import (
@@ -43,6 +44,10 @@ class TransformerEncoder(nn.Module):
     # reference's latent triangle_mask(stage=...) primitive
     # (liteasr/utils/mask.py:30-90), which nothing in the reference wires up.
     static_chunk_size: int = 0
+    # dynamic chunk training: per-step random chunk width (50% full context,
+    # else U[1, 25] subsampled frames) so one model serves all streaming
+    # latencies at decode time
+    dynamic_chunk: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -65,7 +70,23 @@ class TransformerEncoder(nn.Module):
         if mask is not None:
             sub = subsample_mask(mask)
             attn_mask = sub[:, None, None, :]  # (B, 1, 1, T')
-        if self.static_chunk_size > 0:
+        if self.dynamic_chunk and train:
+            # chunk width is a traced scalar: the mask is computed with jnp
+            # ops so no recompilation per sampled width
+            t_sub = x.shape[1]
+            if self.has_rng("chunk"):
+                key = self.make_rng("chunk")
+            else:
+                key = jax.random.PRNGKey(0)
+            k1, k2 = jax.random.split(key)
+            full = jax.random.uniform(k1) < 0.5
+            c = jnp.where(full, t_sub,
+                          jax.random.randint(k2, (), 1, 26)).astype(jnp.int32)
+            row = jnp.arange(t_sub)[:, None]
+            col = jnp.arange(t_sub)[None, :]
+            chunk = ((col // c) > (row // c))[None, None, :, :]
+            attn_mask = chunk if attn_mask is None else (attn_mask | chunk)
+        elif self.static_chunk_size > 0:
             from liteasr_tpu.ops.masks import triangle_mask
 
             t_sub = x.shape[1]

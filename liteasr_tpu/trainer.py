@@ -147,7 +147,7 @@ class Trainer:
             rngs = {
                 name: jax.random.fold_in(step_key, i)
                 for i, name in enumerate(
-                    ("dropout", "mask", "negatives", "gumbel"))
+                    ("dropout", "mask", "negatives", "gumbel", "chunk"))
             }
             batch = self._apply_frontend(batch)
             if self._specaug_kwargs is not None:
