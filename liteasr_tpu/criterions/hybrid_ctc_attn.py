@@ -46,7 +46,9 @@ def label_smoothed_kl(h_attn, tgt_attn, vocab_size: int, smoothing: float,
     # x*log(x) with x==0 must be exactly 0 (XLA flushes subnormal eps to zero,
     # so a naive log(max(x, tiny)) produces 0 * -inf = NaN when smoothing=0)
     def xlogx(p: float) -> float:
-        return p * float(jnp.log(p)) if p > 0 else 0.0
+        import math
+
+        return p * math.log(p) if p > 0 else 0.0
 
     ent = xlogx(off) * (vocab_size - 1) + xlogx(on)
     cross = off * logp.sum(axis=-1) \
