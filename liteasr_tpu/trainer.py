@@ -71,6 +71,8 @@ class Trainer:
         self.iter = 0
         self.loss = 0.0
         self._loss_accum = []
+        self._report_time = time.time()
+        self._report_utts = 0
 
         self.mesh = get_mesh(cfg.distributed.dp, cfg.distributed.tp)
         logger.info("mesh: %s", dict(self.mesh.shape))
@@ -307,6 +309,8 @@ class Trainer:
             device_batch = shard_batch(self.mesh, batch)
             self.state, loss = self._train_step(self.state, device_batch)
             self._loss_accum.append(loss)
+            self._report_utts += int(batch["valid"].sum()) \
+                if "valid" in batch else batch["xs"].shape[0]
 
             if i % accum == 0:
                 self.iter += 1
@@ -324,9 +328,16 @@ class Trainer:
             self._loss_accum = []
         else:
             window = float("nan")
+        now = time.time()
+        dt = max(now - self._report_time, 1e-6)
+        throughput = self._report_utts * jax.process_count() / dt
+        self._report_time = now
+        self._report_utts = 0
         logger.info(
-            "%s / %s iters, %s / %s epochs - current loss: %.2f",
-            self.iter, self.max_iter, self.epoch, self.max_epoch, window)
+            "%s / %s iters, %s / %s epochs - current loss: %.2f "
+            "(%.1f utts/s)",
+            self.iter, self.max_iter, self.epoch, self.max_epoch, window,
+            throughput)
 
     def valid(self):
         losses = []
