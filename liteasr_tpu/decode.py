@@ -569,3 +569,142 @@ def transducer_beam_search_utt(model, variables, x,
 
     best = max(hyps, key=lambda h: h["score"] / max(len(h["yseq"]), 1))
     return best["yseq"][1:]  # strip leading blank
+
+
+def transducer_beam_search(model, variables, xs, xlens,
+                           beam_size: int = 10,
+                           expansions_per_frame: int = 2,
+                           max_output_len: Optional[int] = None):
+    """Batched time-synchronous RNN-T beam search, fully on device.
+
+    A fixed-shape reformulation of the reference's per-frame best-first
+    expansion (liteasr/models/transducer.py:137-206): each frame runs
+    ``expansions_per_frame`` rounds where every beam proposes a blank
+    candidate (ends the frame; merged into a top-K finished set) and top-K
+    non-blank extensions (advance the prediction network). Final pick is
+    length-normalized like the reference (:203-205). No prefix merging —
+    matching the reference, which also keeps duplicate prefixes apart.
+
+    Returns a list of token-id lists.
+    """
+    B = xs.shape[0]
+    K = beam_size
+    E = max(1, expansions_per_frame)
+    T_sub = int(model.get_pred_len(jnp.array([xs.shape[1]]))[0])
+    Lmax = max_output_len or T_sub * E
+
+    def gather_k(tree, idx):
+        """Gather (B, K, ...) leaves along axis 1 with idx (B, K)."""
+        def g(x):
+            ii = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+            return jnp.take_along_axis(x, ii.astype(jnp.int32), axis=1)
+        return jax.tree.map(g, tree)
+
+    def run(variables, xs, xlens):
+        h_enc, _ = model.apply(variables, xs, xlens, method=model.encode)
+        enc_lens = model.get_pred_len(xlens)
+        T = h_enc.shape[1]
+
+        state0 = model.apply(variables, B * K, method=model.decoder_init_state)
+        lstm0 = jax.tree.map(
+            lambda x: x.reshape(B, K, *x.shape[1:]), state0)
+        beams = {
+            "tokens": jnp.zeros((B, K, Lmax), jnp.int32),
+            "lens": jnp.zeros((B, K), jnp.int32),
+            "last": jnp.zeros((B, K), jnp.int32),
+            "scores": jnp.full((B, K), -jnp.inf).at[:, 0].set(0.0),
+            "lstm": lstm0,
+        }
+
+        def frame(beams, t):
+            h_t = jax.lax.dynamic_index_in_dim(
+                h_enc, t, axis=1, keepdims=False)  # (B, D)
+            active = (t < enc_lens)[:, None]  # (B, 1)
+
+            fin = dict(beams)
+            fin["scores"] = jnp.full((B, K), -jnp.inf)
+            cur = beams
+
+            for e in range(E):
+                flat_last = cur["last"].reshape(B * K)
+                flat_lstm = jax.tree.map(
+                    lambda x: x.reshape(B * K, *x.shape[2:]), cur["lstm"])
+                dec_out, new_lstm_flat = model.apply(
+                    variables, flat_last, flat_lstm,
+                    method=model.decoder_step)
+                new_lstm = jax.tree.map(
+                    lambda x: x.reshape(B, K, *x.shape[1:]), new_lstm_flat)
+                logits = model.apply(
+                    variables, h_t[:, None, :], dec_out.reshape(B, K, -1),
+                    method=model.joint)  # (B, K, V)
+                logp = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1)
+
+                # blank candidates -> finished set (2K -> K merge)
+                cand = dict(cur)
+                cand["scores"] = cur["scores"] + logp[:, :, 0]
+                merged = {
+                    key: jnp.concatenate([fin[key], cand[key]], axis=1)
+                    if key != "lstm" else jax.tree.map(
+                        lambda a, b: jnp.concatenate([a, b], axis=1),
+                        fin["lstm"], cand["lstm"])
+                    for key in fin
+                }
+                top_sc, top_idx = jax.lax.top_k(merged["scores"], K)
+                fin = gather_k(
+                    {k: v for k, v in merged.items()}, top_idx)
+                fin["scores"] = top_sc
+
+                if e == E - 1:
+                    break
+
+                # non-blank expansions: top-P tokens per beam -> global top-K
+                nb = logp.at[:, :, 0].set(-jnp.inf)
+                P = min(K, nb.shape[-1] - 1)  # vocab may be tiny in tests
+                tok_sc, tok_id = jax.lax.top_k(nb, P)  # (B, K, P)
+                comb = (cur["scores"][:, :, None] + tok_sc).reshape(B, K * P)
+                new_sc, flat_idx = jax.lax.top_k(comb, K)
+                parent = flat_idx // P
+                tok = jnp.take_along_axis(
+                    tok_id.reshape(B, K * P), flat_idx, axis=1)  # (B, K)
+
+                nxt = gather_k(
+                    {"tokens": cur["tokens"], "lens": cur["lens"],
+                     "last": cur["last"], "lstm": new_lstm}, parent)
+                can_emit = nxt["lens"] < Lmax
+                pos = jnp.arange(Lmax)[None, None, :]
+                nxt["tokens"] = jnp.where(
+                    (pos == nxt["lens"][:, :, None]) & can_emit[:, :, None],
+                    tok[:, :, None], nxt["tokens"])
+                nxt["lens"] = nxt["lens"] + can_emit.astype(jnp.int32)
+                nxt["last"] = jnp.where(can_emit, tok, nxt["last"])
+                nxt["scores"] = jnp.where(can_emit, new_sc, -jnp.inf)
+                cur = nxt
+
+            # frozen frames carry the incoming beams unchanged
+            out = jax.tree.map(
+                lambda n, o: jnp.where(
+                    active.reshape((B,) + (1,) * (n.ndim - 1)), n, o),
+                fin, beams)
+            return out, None
+
+        beams, _ = jax.lax.scan(frame, beams, jnp.arange(T))
+        # length-normalized best (reference transducer.py:203-205;
+        # yseq includes the leading blank -> lens + 1)
+        norm = beams["scores"] / jnp.maximum(
+            beams["lens"] + 1, 1).astype(jnp.float32)
+        best = jnp.argmax(norm, axis=1)
+        best_tokens = jnp.take_along_axis(
+            beams["tokens"], best[:, None, None], axis=1)[:, 0]
+        best_lens = jnp.take_along_axis(
+            beams["lens"], best[:, None], axis=1)[:, 0]
+        return best_tokens, best_lens
+
+    key = (id(model), "transducer_beam", K, E, B, Lmax)
+    fn = _PIPELINE_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(run)
+        _PIPELINE_CACHE[key] = fn
+    tokens, lens = fn(variables, xs, xlens)
+    tokens, lens = np.asarray(tokens), np.asarray(lens)
+    return [tokens[b, : lens[b]].tolist() for b in range(B)]

@@ -58,8 +58,13 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
                 num_mel_bins=dataset.num_mel_bins)
             xs, xlens = np.asarray(feats), np.asarray(flens)
         if hasattr(model, "joint"):  # transducer family
-            hyps = decode.transducer_greedy(
-                model, variables, jnp.asarray(xs), jnp.asarray(xlens))
+            if infer_cfg.get("mode") == "transducer_greedy":
+                hyps = decode.transducer_greedy(
+                    model, variables, jnp.asarray(xs), jnp.asarray(xlens))
+            else:  # beam search is the reference default (transducer.py:137)
+                hyps = decode.transducer_beam_search(
+                    model, variables, jnp.asarray(xs), jnp.asarray(xlens),
+                    beam_size=beam_size)
         else:
             hyps = decode.decode_batch(
                 model, variables, jnp.asarray(xs), jnp.asarray(xlens),
