@@ -48,6 +48,8 @@ class U2Config(LiteasrDataclass):
     # dynamic chunk training: random chunk width per step (streaming-capable
     # model from one training run)
     dynamic_chunk: bool = False
+    # rematerialize encoder layers (memory for FLOPs)
+    remat: bool = False
 
     # attention decoder
     dec_arch: str = "transformer"
@@ -84,6 +86,7 @@ class U2(LiteasrModel):
     activation: str = "swish"
     static_chunk_size: int = 0
     dynamic_chunk: bool = False
+    remat: bool = False
     dec_dim: int = 256
     dec_ff_dim: int = 2048
     dec_attn_heads: int = 4
@@ -118,6 +121,7 @@ class U2(LiteasrModel):
             arch=self.enc_arch,
             static_chunk_size=self.static_chunk_size,
             dynamic_chunk=self.dynamic_chunk,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.decoder = TransformerDecoder(
@@ -217,6 +221,7 @@ class U2(LiteasrModel):
             activation=cfg.activation,
             static_chunk_size=int(cfg.get("static_chunk_size", 0)),
             dynamic_chunk=bool(cfg.get("dynamic_chunk", False)),
+            remat=bool(cfg.get("remat", False)),
             dec_dim=cfg.dec_dim,
             dec_ff_dim=cfg.dec_ff_dim,
             dec_attn_heads=cfg.dec_attn_heads,

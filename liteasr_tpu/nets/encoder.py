@@ -48,6 +48,9 @@ class TransformerEncoder(nn.Module):
     # else U[1, 25] subsampled frames) so one model serves all streaming
     # latencies at decode time
     dynamic_chunk: bool = False
+    # rematerialize encoder layers in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for O(layers) less activation memory
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,6 +99,10 @@ class TransformerEncoder(nn.Module):
             attn_mask = chunk if attn_mask is None else (attn_mask | chunk)
 
         layer_cls = ConformerLayer if self.arch == "conformer" else EncoderLayer
+        if self.remat:
+            # __call__(self, x, pos_emb, mask, train): train (idx 4 incl.
+            # self) must stay static
+            layer_cls = nn.remat(layer_cls, static_argnums=(4,))
         kwargs = dict(
             n_head=self.n_head,
             ff_dim=self.ff_dim,
@@ -110,7 +117,8 @@ class TransformerEncoder(nn.Module):
             kwargs["conv_kernel"] = self.conv_kernel
 
         for i in range(self.n_layer):
+            # positional call: nn.remat's static_argnums indexes positions
             x = layer_cls(**kwargs, name=f"layer_{i}")(
-                x, pos_emb=pos_emb, mask=attn_mask, train=train)
+                x, pos_emb, attn_mask, train)
 
         return LayerNorm(dtype=self.dtype, name="after_norm")(x)
