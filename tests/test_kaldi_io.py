@@ -87,3 +87,29 @@ def test_wav_scp_sheet(tmp_path, rng):
     rows = list(AudioSheet(str(d)))
     assert [r[3] for r in rows] == lens
     assert all(r[2] == 0 for r in rows)
+
+
+def test_segments_sheet(tmp_path, rng):
+    """wav.scp + segments: utterances are 16 kHz slices of recordings
+    (reference sheet.py:67-78)."""
+    from liteasr_tpu.data.audio import Audio
+
+    d = tmp_path / "segdata"
+    d.mkdir()
+    wav_path = str(d / "rec0.wav")
+    samples = (rng.normal(size=32000) * 0.05).astype(np.float32)  # 2 s
+    kaldi_io.write_wav(wav_path, samples)
+    (d / "wav.scp").write_text(f"rec0 {wav_path}\n")
+    (d / "segments").write_text(
+        "utt0 rec0 0.00 0.50\n"
+        "utt1 rec0 0.50 1.25\n"
+        "utt2 rec0 1.25 2.00\n")
+    rows = list(AudioSheet(str(d)))
+    assert [r[0] for r in rows] == ["utt0", "utt1", "utt2"]
+    starts = [r[2] for r in rows]
+    lens = [r[3] for r in rows]
+    assert starts == [0, 8000, 20000]
+    assert lens == [7999, 11999, 11999]
+    # lazy slice read matches the source samples
+    a = Audio(rows[1][1], starts[1], lens[1], None, None)
+    np.testing.assert_allclose(a.x, samples[8000:8000 + 11999], atol=1e-4)
