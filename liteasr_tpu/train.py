@@ -59,8 +59,27 @@ def train(cfg) -> "object":
 
     logger.info("1. load data...")
     config = (cfg.dataset, cfg.postprocess)
-    task.load_dataset("train", task.cfg.train, *config,
-                      memory_save=cfg.common.memory_save)
+    if cfg.common.memory_save:
+        # staged loading (reference train.py:61-80): the master process
+        # builds + dumps the batchified corpus; the rest wait on a global
+        # barrier and then lazily read the dump shards
+        import jax
+        from jax.experimental import multihost_utils
+
+        if jax.process_count() > 1:
+            if is_master():
+                task.load_dataset("train", task.cfg.train, *config,
+                                  memory_save=True)
+            multihost_utils.sync_global_devices("liteasr_memory_save_dump")
+            if not is_master():
+                task.load_dataset("train", task.cfg.train, *config,
+                                  memory_save=True)
+        else:
+            task.load_dataset("train", task.cfg.train, *config,
+                              memory_save=True)
+    else:
+        task.load_dataset("train", task.cfg.train, *config,
+                          memory_save=False)
     task.load_dataset("valid", task.cfg.valid, *config, memory_save=False)
 
     model = task.build_model(cfg.model)
