@@ -77,7 +77,9 @@ def load_ckpt(infer_cfg) -> Any:
         logger.info("loading checkpoint: %s", path)
         return load_params(path)
 
-    ckpts = sorted(glob.glob(os.path.join(ckpt_path, "*")), key=os.path.getmtime)
+    # only model checkpoints — save_dir also holds train_state files
+    ckpts = sorted(glob.glob(os.path.join(ckpt_path, "model.ep.*.msgpack")),
+                   key=os.path.getmtime)
     target = os.path.join(ckpt_path, CKPT_TEMPLATE.format(ckpt_name))
     pos = ckpts.index(target)
     assert pos - infer_cfg.avg_num + 1 >= 0

@@ -376,7 +376,8 @@ _PIPELINE_CACHE: dict = {}
 
 
 def _get_pipeline(model, mode: str, beam_size: int, ctc_weight: float):
-    key = (id(model), mode, beam_size, ctc_weight)
+    # flax modules are frozen dataclasses: hashable, value-equal keys
+    key = (model, mode, beam_size, ctc_weight)
     fn = _PIPELINE_CACHE.get(key)
     if fn is not None:
         return fn
@@ -429,11 +430,22 @@ def decode_batch(model, variables, xs, xlens, beam_size: int = 10,
 
 def decode_utterance(model, variables, x, mode: str = "attention_rescore",
                      beam_size: int = 10, ctc_weight: float = 0.5):
-    """Single-utterance decode (trainer inference trigger / ad-hoc use)."""
+    """Single-utterance decode (trainer inference trigger / ad-hoc use).
+    Dispatches on the model family."""
     xs = jnp.asarray(x)
     if xs.ndim == 2:
         xs = xs[None]
     xlens = jnp.array([xs.shape[1]], jnp.int32)
+    if hasattr(model, "joint"):  # transducer
+        return transducer_beam_search(
+            model, variables, xs, xlens, beam_size=beam_size)[0]
+    if hasattr(model, "decode"):  # paraformer: CIF + argmax
+        # ("predictor" is a setup attribute, invisible on unbound modules;
+        # the class-level decode method is the marker)
+        t_sub = int(model.get_pred_len(xlens)[0])
+        hyp, ulens = model.apply(
+            variables, xs, xlens, u_max=max(t_sub, 1), method=model.decode)
+        return tokens_to_list(np.asarray(hyp)[0], int(np.asarray(ulens)[0]))
     return decode_batch(model, variables, xs, xlens, beam_size=beam_size,
                         ctc_weight=ctc_weight, mode=mode)[0]
 
@@ -498,7 +510,7 @@ def transducer_greedy(model, variables, xs, xlens,
         return buf, length
 
     # B and Lmax are baked into the closure -> must key the cache on them
-    key = (id(model), "transducer_greedy", max_symbols_per_frame, B, Lmax)
+    key = (model, "transducer_greedy", max_symbols_per_frame, B, Lmax)
     fn = _PIPELINE_CACHE.get(key)
     if fn is None:
         fn = jax.jit(run)
@@ -700,7 +712,7 @@ def transducer_beam_search(model, variables, xs, xlens,
             beams["lens"], best[:, None], axis=1)[:, 0]
         return best_tokens, best_lens
 
-    key = (id(model), "transducer_beam", K, E, B, Lmax)
+    key = (model, "transducer_beam", K, E, B, Lmax)
     fn = _PIPELINE_CACHE.get(key)
     if fn is None:
         fn = jax.jit(run)

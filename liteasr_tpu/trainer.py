@@ -309,6 +309,8 @@ class Trainer:
             device_batch = shard_batch(self.mesh, batch)
             self.state, loss = self._train_step(self.state, device_batch)
             self._loss_accum.append(loss)
+            if len(self._loss_accum) > 10000:  # bounded without a trigger
+                del self._loss_accum[:5000]
             self._report_utts += int(batch["valid"].sum()) \
                 if "valid" in batch else batch["xs"].shape[0]
 

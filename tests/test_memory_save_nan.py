@@ -117,3 +117,27 @@ def test_nan_grads_skip_update():
     updates, state = tx.update(good, state, params)
     new_params = optax.apply_updates(params, updates)
     assert np.abs(np.asarray(new_params["w"]) - 1.0).max() > 0
+
+
+def test_ckpt_avg_ignores_train_state_files(tmp_path):
+    """Averaging must only consider model.ep.*.msgpack, not the train_state
+    files that now live in the same save_dir."""
+    import time
+
+    import jax.numpy as jnp
+
+    from liteasr_tpu import checkpoint
+
+    for ep, val in ((1, 1.0), (2, 3.0)):
+        checkpoint.save_params(
+            str(tmp_path / f"model.ep.{ep}.msgpack"),
+            {"params": {"w": jnp.full((2,), val)}})
+        time.sleep(0.01)
+    # interloper files with newer mtimes
+    (tmp_path / "train_state.msgpack").write_bytes(b"xx")
+    (tmp_path / "train_state.msgpack.meta").write_text("{}")
+
+    cfg = DotDict(ckpt_path=str(tmp_path), ckpt_name=2, model_avg=True,
+                  avg_num=2, avg_policy=None)
+    avg = checkpoint.load_ckpt(cfg)
+    np.testing.assert_allclose(np.asarray(avg["params"]["w"]), [2.0, 2.0])
