@@ -108,6 +108,7 @@ class DistributedConfig(LiteasrDataclass):
 
     dp: int = -1  # -1: all remaining devices
     tp: int = 1  # tensor-parallel axis size
+    sp: int = 1  # sequence-parallel axis size (time-axis sharding via GSPMD)
     num_workers: int = 2
     # multi-host bootstrap (jax.distributed.initialize)
     coordinator_address: Optional[str] = None

@@ -34,14 +34,23 @@ def II(path: str) -> str:
 
 
 class DotDict(dict):
-    """Dict with attribute access; nested dicts are wrapped on read."""
+    """Dict with attribute access; nested dicts are wrapped on read.
+
+    The wrapper is cached back into the parent so attribute-chained
+    mutation (``cfg.a.b = x``) persists.
+    """
 
     def __getattr__(self, key: str) -> Any:
         try:
             val = self[key]
         except KeyError as e:
             raise AttributeError(key) from e
-        return _wrap(val)
+        if isinstance(val, dict) and not isinstance(val, DotDict):
+            val = DotDict(val)
+            self[key] = val
+        elif isinstance(val, list):
+            return [_wrap(v) for v in val]
+        return val
 
     def __setattr__(self, key: str, value: Any) -> None:
         self[key] = value

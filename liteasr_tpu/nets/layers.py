@@ -27,20 +27,37 @@ class ConformerConvolution(nn.Module):
     activation: str = "swish"
     dtype: jnp.dtype = jnp.float32
 
+    def _depthwise(self, x):
+        """Depthwise conv as K shifted multiply-adds (pure VPU ops).
+
+        Grouped convolutions lower poorly on the TPU and their weight
+        gradient is mis-scaled by GSPMD under time-axis (sequence-parallel)
+        sharding; the shifted-add form avoids both. Parameter shape matches
+        flax nn.Conv's (K, 1, C) so checkpoints stay interchangeable.
+        """
+        K = self.kernel_size
+        C = x.shape[-1]
+        kernel = self.param(
+            "depthwise_conv_kernel",
+            nn.initializers.lecun_normal(), (K, 1, C)).astype(self.dtype)
+        bias = self.param(
+            "depthwise_conv_bias", nn.initializers.zeros, (C,)
+        ).astype(self.dtype)
+        half = (K - 1) // 2
+        padded = jnp.pad(x, ((0, 0), (half, half), (0, 0)))
+        T = x.shape[1]
+        out = bias
+        for k in range(K):
+            out = out + padded[:, k:k + T, :] * kernel[k, 0][None, None, :]
+        return out
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         channels = x.shape[-1]
         assert (self.kernel_size - 1) % 2 == 0
         x = nn.Dense(2 * channels, dtype=self.dtype, name="pointwise_conv1")(x)
         x = nn.glu(x, axis=-1)
-        x = nn.Conv(
-            features=channels,
-            kernel_size=(self.kernel_size,),
-            padding="SAME",
-            feature_group_count=channels,
-            dtype=self.dtype,
-            name="depthwise_conv",
-        )(x)
+        x = self._depthwise(x)
         x = nn.BatchNorm(
             use_running_average=not train, dtype=jnp.float32, name="norm")(x)
         x = get_activation(self.activation)(x.astype(self.dtype))

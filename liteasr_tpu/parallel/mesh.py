@@ -38,18 +38,20 @@ def distributed_init(dist_cfg) -> None:
                     jax.process_index(), jax.process_count())
 
 
-def get_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
-    """Build (or fetch the cached) ('dp', 'tp') mesh."""
+def get_mesh(dp: int = -1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Build (or fetch the cached) ('dp', 'sp', 'tp') mesh."""
     global _MESH
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp == -1:
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != device count ({n})"
-    if _MESH is not None and _MESH.devices.shape == (dp, tp):
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, (
+        f"dp({dp}) * tp({tp}) * sp({sp}) != device count ({n})")
+    if _MESH is not None and _MESH.devices.shape == (dp, sp, tp):
         return _MESH
-    device_array = mesh_utils.create_device_mesh((dp, tp), devices=devices)
-    _MESH = Mesh(device_array, axis_names=("dp", "tp"))
+    device_array = mesh_utils.create_device_mesh((dp, sp, tp),
+                                                 devices=devices)
+    _MESH = Mesh(device_array, axis_names=("dp", "sp", "tp"))
     return _MESH
 
 
@@ -61,17 +63,31 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 
 
+def batch_shardings(mesh: Mesh, batch: Dict[str, np.ndarray]):
+    """Per-leaf shardings: features shard time over 'sp' too (sequence
+    parallelism); 1-D per-utterance leaves shard only over 'dp'."""
+    row = NamedSharding(mesh, P("dp"))
+    seq = NamedSharding(mesh, P("dp", "sp"))
+    return {
+        key: seq if np.ndim(val) >= 2 and key == "xs" else row
+        for key, val in batch.items()
+    }
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
-    """Place a host batch onto the mesh, sharded over dp on axis 0.
+    """Place a host batch onto the mesh: rows over 'dp', feature time over
+    'sp' (no-op when sp == 1).
 
     Single-process: a plain device_put split. Multi-process: each host
     contributes its local shard (per-host manifest sharding upstream).
     """
-    sharding = batch_sharding(mesh)
+    shardings = batch_shardings(mesh, batch)
     if jax.process_count() == 1:
-        return jax.device_put(batch, sharding)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sharding, x), batch)
+        return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(shardings[k], v)
+        for k, v in batch.items()
+    }
 
 
 def is_master() -> bool:

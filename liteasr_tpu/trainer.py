@@ -74,7 +74,8 @@ class Trainer:
         self._report_time = time.time()
         self._report_utts = 0
 
-        self.mesh = get_mesh(cfg.distributed.dp, cfg.distributed.tp)
+        self.mesh = get_mesh(cfg.distributed.dp, cfg.distributed.tp,
+                             cfg.distributed.get("sp", 1))
         logger.info("mesh: %s", dict(self.mesh.shape))
 
         train_set = task.dataset("train")
@@ -142,7 +143,9 @@ class Trainer:
             )
 
         # ---- compiled steps ----
-        bsh = batch_sharding(self.mesh)
+        from liteasr_tpu.parallel.mesh import batch_shardings
+
+        bsh = batch_shardings(self.mesh, init_batch)
 
         def train_step(state: TrainState, batch):
             step_key = jax.random.fold_in(self._base_dropout_key, state.step)

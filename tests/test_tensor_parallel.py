@@ -88,3 +88,23 @@ def test_dp_tp_matches_dp_only(tiny_corpus, tmp_path):
     p2 = jax.device_get(t2.state.params)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_dp_sp_matches_dp_only(tiny_corpus, tmp_path):
+    """Sequence parallelism (time-axis sharding) must match dp-only."""
+    mesh_lib._MESH = None
+    t1 = train(_cfg(tiny_corpus, tmp_path, dp=8, tp=1, tag="dp2"))
+    loss_dp = np.asarray(jax.device_get(t1._loss_accum)).mean()
+
+    mesh_lib._MESH = None
+    cfg = _cfg(tiny_corpus, tmp_path, dp=4, tp=1, tag="sp")
+    cfg.distributed.sp = 2
+    t2 = train(cfg)
+    loss_sp = np.asarray(jax.device_get(t2._loss_accum)).mean()
+    mesh_lib._MESH = None
+
+    np.testing.assert_allclose(loss_dp, loss_sp, rtol=1e-4, atol=1e-4)
+    p1 = jax.device_get(t1.state.params)
+    p2 = jax.device_get(t2.state.params)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
