@@ -41,6 +41,8 @@ def main():
         batch_sharding, get_mesh, replicated_sharding)
     from liteasr_tpu.trainer import TrainState, build_tx
 
+    jax.config.update("jax_default_prng_impl", "rbg")  # production PRNG
+
     vocab = 5000
     cfg = DotDict(_node_to_dict(U2Config))
     cfg.update(dict(
@@ -110,12 +112,13 @@ def main():
 
     for _ in range(WARMUP):
         state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    float(loss)  # hard host sync: block_until_ready can return early
+    # through the remote-execution tunnel, inflating throughput ~16x
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    float(loss)  # sequential dependency forces all ITERS steps to finish
     dt = time.perf_counter() - t0
 
     n_chips = len(jax.devices())

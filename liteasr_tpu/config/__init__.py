@@ -52,6 +52,10 @@ class CommonConfig(LiteasrDataclass):
     # <task.save_dir>/train_state.msgpack ("auto") or an explicit path.
     # The reference cannot resume mid-training (SURVEY.md §5).
     resume: Optional[str] = None
+    # PRNG bit generator for training randomness. "rbg" is much faster than
+    # threefry on TPU (dropout masks dominate RNG cost); set "threefry2x32"
+    # for cross-platform reproducibility.
+    prng_impl: str = "rbg"
 
 
 @dataclass

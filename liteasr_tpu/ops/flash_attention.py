@@ -26,10 +26,10 @@ DEFAULT_TK = 128
 
 import os
 
-# Opt-in: measured on TPU v5e at ASR-typical shapes (T'<=512, d_k=64), XLA's
-# own attention fusion is on par or slightly faster (0.94x), so the Pallas
-# kernel is not the default. It wins on HBM at long sequences (score matrix
-# never materializes) — enable with LITEASR_FLASH=1 or set_flash_enabled.
+# Default-on for inference paths: measured on TPU v5e with hard host syncs
+# (BH=32, T=512, d=64, bf16), the kernel beats XLA's attention fusion 1.07ms
+# vs 1.84ms (~1.7x) and never materializes the score matrix in HBM.
+# Disable with LITEASR_FLASH=0 or set_flash_enabled(False).
 _FORCED: "bool | None" = None
 
 
@@ -43,7 +43,7 @@ def flash_available() -> bool:
     if _FORCED is not None:
         enabled = _FORCED
     else:
-        enabled = os.environ.get("LITEASR_FLASH", "0") == "1"
+        enabled = os.environ.get("LITEASR_FLASH", "1") == "1"
     if not enabled:
         return False
     try:

@@ -96,6 +96,9 @@ class Trainer:
             self._fbank_bins = int(cfg.dataset.get("num_mel_bins", 80))
 
         # ---- init state (shapes from the first real batch) ----
+        impl = cfg.common.get("prng_impl")
+        if impl:
+            jax.config.update("jax_default_prng_impl", impl)
         rng = jax.random.PRNGKey(cfg.common.seed)
         self._base_dropout_key = jax.random.fold_in(rng, 1)
         init_batch = self._apply_frontend(train_set.collator(train_set[0]))
