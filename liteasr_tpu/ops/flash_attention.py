@@ -26,10 +26,13 @@ DEFAULT_TK = 128
 
 import os
 
-# Default-on for inference paths: measured on TPU v5e with hard host syncs
-# (BH=32, T=512, d=64, bf16), the kernel beats XLA's attention fusion 1.07ms
-# vs 1.84ms (~1.7x) and never materializes the score matrix in HBM.
-# Disable with LITEASR_FLASH=0 or set_flash_enabled(False).
+# Opt-in. Hard-synced measurements on TPU v5e: the bare kernel beats XLA's
+# attention fusion 1.07ms vs 1.84ms (BH=32, T=512, d=64, bf16, no mask), but
+# inside the U2 decode pipeline — where the rel-pos bias and the broadcast
+# padding mask are materialized as (B*H, Tq, Tk) kernel inputs — end-to-end
+# RTF is slightly worse (0.00139 vs 0.00109). Net: enable with
+# LITEASR_FLASH=1 for long-context/unmasked workloads where the
+# score-matrix HBM saving dominates.
 _FORCED: "bool | None" = None
 
 
@@ -43,7 +46,7 @@ def flash_available() -> bool:
     if _FORCED is not None:
         enabled = _FORCED
     else:
-        enabled = os.environ.get("LITEASR_FLASH", "1") == "1"
+        enabled = os.environ.get("LITEASR_FLASH", "0") == "1"
     if not enabled:
         return False
     try:
