@@ -97,7 +97,9 @@ def spec_augment(
 ) -> jnp.ndarray:
     """Apply SpecAugment to a padded batch (B, T, D) with valid lens (B,)."""
     B = xs.shape[0]
-    keys = jax.random.split(rng, B * 3).reshape(B, 3, 2)
+    # key width depends on the PRNG impl (threefry: 2 words, rbg: 4)
+    keys = jax.random.split(rng, B * 3)
+    keys = keys.reshape((B, 3) + keys.shape[1:])
 
     def one(key3, x, xlen):
         if time_warp > 0:
