@@ -113,3 +113,25 @@ def test_segments_sheet(tmp_path, rng):
     # lazy slice read matches the source samples
     a = Audio(rows[1][1], starts[1], lens[1], None, None)
     np.testing.assert_allclose(a.x, samples[8000:8000 + 11999], atol=1e-4)
+
+
+def test_read_write_helpers(tmp_path, rng):
+    """High-level Kaldi IO (reference highlevel.py ReadHelper/WriteHelper)."""
+    from liteasr_tpu.data.kaldi_helpers import ReadHelper, WriteHelper
+
+    mats = {f"u{i}": rng.normal(size=(6 + i, 5)).astype(np.float32)
+            for i in range(3)}
+    ark = str(tmp_path / "h.ark")
+    scp = str(tmp_path / "h.scp")
+    with WriteHelper(f"ark,scp:{ark},{scp}") as w:
+        for key, mat in mats.items():
+            w(key, mat)
+
+    got = dict(ReadHelper(f"ark:{ark}"))
+    assert set(got) == set(mats)
+    for k in mats:
+        np.testing.assert_allclose(got[k], mats[k])
+
+    got_scp = dict(ReadHelper(f"scp:{scp}"))
+    for k in mats:
+        np.testing.assert_allclose(got_scp[k], mats[k])
