@@ -39,8 +39,18 @@ class Wav2Vec2Loss(LiteasrLoss):
         if valid is None:
             valid = jnp.ones(xs.shape[0], dtype=jnp.float32)
 
-        # anneal the gumbel temperature with the host step counter if given
-        temp = batch.get("gumbel_temp", 2.0)
+        # gumbel temperature anneal: max_t * decay^step clipped at min_t.
+        # (The reference defines latent_temp=(start, end, decay) but never
+        # advances it — curr_temp stays at start; here the anneal actually
+        # runs off the trainer's step counter in batch["step"].)
+        lt = getattr(model, "latent_temp", (2.0, 0.5, 0.999995))
+        step = batch.get("step")
+        if step is not None:
+            temp = jnp.maximum(
+                lt[0] * jnp.power(jnp.float32(lt[2]),
+                                  step.astype(jnp.float32)), lt[1])
+        else:
+            temp = batch.get("gumbel_temp", lt[0])
 
         if train:
             (logits, mask), new_model_state = model.apply(

@@ -158,6 +158,8 @@ class Trainer:
                     ("dropout", "mask", "negatives", "gumbel", "chunk"))
             }
             batch = self._apply_frontend(batch)
+            batch = dict(batch)
+            batch["step"] = state.step  # for step-scheduled criterions
             if self._specaug_kwargs is not None:
                 from liteasr_tpu.ops.spec_augment import spec_augment
 
