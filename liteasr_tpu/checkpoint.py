@@ -58,11 +58,18 @@ def _average_params(paths: List[str]) -> Any:
 
 
 def parse_valid_losses(log_path: str) -> List[float]:
-    """Extract ``valid loss: X`` values from train.log (checkpoint.py:55-67)."""
+    """Extract ``valid loss: X`` values from train.log (checkpoint.py:55-67).
+
+    Accepts negative, scientific-notation, and nan/inf losses — a
+    digits-only pattern would silently mis-parse those and make N-best
+    averaging pick the wrong epochs.
+    """
+    pattern = re.compile(
+        r"valid loss: ([-+]?(?:\d+\.?\d*(?:[eE][-+]?\d+)?|\.\d+|nan|inf))")
     losses = []
     with open(log_path, "r") as log:
         for line in log:
-            match = re.match(r".*valid loss: ([\d\.]+)", line.strip())
+            match = pattern.search(line)
             if match:
                 losses.append(float(match.group(1)))
     return losses
@@ -91,8 +98,10 @@ def load_ckpt(infer_cfg) -> Any:
         pickup = ckpts[pos - infer_cfg.avg_num + 1: pos + 1]
     else:
         losses = parse_valid_losses(avg_policy)
+        # nan valid losses sort last so diverged epochs never enter the average
         ckpt_loss = sorted(
-            zip(ckpts[: pos + 1], losses[: pos + 1]), key=lambda cl: cl[1])
+            zip(ckpts[: pos + 1], losses[: pos + 1]),
+            key=lambda cl: (np.isnan(cl[1]), cl[1]))
         pickup = [c for c, _ in ckpt_loss[: infer_cfg.avg_num]]
 
     logger.info("loading average checkpoint from:\n\t%s", "\n\t".join(pickup))

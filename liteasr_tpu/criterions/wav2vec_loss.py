@@ -31,10 +31,12 @@ class Wav2Vec2Loss(LiteasrLoss):
         return cls(cfg, task)
 
     def init_variables(self, model, rng, batch):
-        return model.init({"params": rng}, batch["xs"], train=False)
+        return model.init({"params": rng}, batch["xs"],
+                          xlens=batch.get("xlens"), train=False)
 
     def __call__(self, model, variables, batch, rngs=None, train: bool = True):
         xs = batch["xs"]  # (B, T) raw waveform
+        xlens = batch.get("xlens")  # (B,) valid sample counts (optional)
         valid = batch.get("valid")
         if valid is None:
             valid = jnp.ones(xs.shape[0], dtype=jnp.float32)
@@ -54,14 +56,15 @@ class Wav2Vec2Loss(LiteasrLoss):
 
         if train:
             (logits, mask), new_model_state = model.apply(
-                variables, xs, train=True, temp=temp, rngs=rngs,
+                variables, xs, xlens=xlens, train=True, temp=temp, rngs=rngs,
                 mutable=["batch_stats"])
         else:
-            logits, mask = model.apply(variables, xs, train=False, temp=temp,
-                                       rngs=rngs)
+            logits, mask = model.apply(variables, xs, xlens=xlens,
+                                       train=False, temp=temp, rngs=rngs)
             new_model_state = {}
 
-        # logits: (N+1, B, F); positive at index 0
+        # logits: (N+1, B, F); positive at index 0. `mask` is already
+        # restricted to valid (non-padding) frames by the model.
         logp = jax.nn.log_softmax(
             logits.astype(jnp.float32), axis=0)  # over candidates
         nll = -logp[0]  # (B, F)

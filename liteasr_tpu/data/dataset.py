@@ -248,7 +248,10 @@ class RawAudioFileDataset:
         self.batchify_policy = None
         self.dataset_cfg = dataset_cfg
         self.crop_frames = crop_frames
+        # the trainer sets these (same contract as AudioFileDataset)
         self.batch_multiple = 1
+        self.num_shards = 1
+        self.shard_index = 0
         self.split = "train"
 
         for uttid, fd, start, shape in AudioSheet(data_dir):
@@ -265,15 +268,28 @@ class RawAudioFileDataset:
 
     def collator(self, samples: List[Audio]) -> Dict[str, np.ndarray]:
         # crop the batch to its shortest utterance (<= crop_frames), like the
-        # reference collator (pretrain_dataset.py:51-56)
-        min_frames = min(min(s.xlen for s in samples), self.crop_frames)
-        B = round_up(len(samples), self.batch_multiple)
-        out = np.zeros((B, min_frames), dtype=np.float32)
-        valid = np.zeros(B, dtype=np.float32)
-        for i, s in enumerate(samples):
-            out[i] = s.x[:min_frames]
+        # reference collator (pretrain_dataset.py:51-56). Multi-host lockstep
+        # mirrors collate_batch: every host derives the same global geometry
+        # from length metadata, then materializes only its own row shard —
+        # without this, every process would feed identical rows and the
+        # assembled global batch would duplicate each sample (the reference's
+        # DistributedSampler semantics, liteasr/trainer.py:48-53).
+        crop = min(min(s.xlen for s in samples), self.crop_frames)
+        B = len(samples)
+        Bp = round_up(B, self.batch_multiple * self.num_shards)
+        rows = Bp // self.num_shards
+        lo = self.shard_index * rows
+
+        out = np.zeros((rows, crop), dtype=np.float32)
+        xlens = np.full(rows, crop, dtype=np.int32)
+        valid = np.zeros(rows, dtype=np.float32)
+        for i in range(rows):
+            j = lo + i
+            if j >= B:
+                continue  # padded dummy row: valid stays 0
+            out[i] = samples[j].x[:crop]
             valid[i] = 1.0
-        return {"xs": out, "valid": valid}
+        return {"xs": out, "xlens": xlens, "valid": valid}
 
     def __getitem__(self, index):
         if self.batchify_policy is None:

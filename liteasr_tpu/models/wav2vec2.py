@@ -71,7 +71,8 @@ class Wav2Vec2Config(LiteasrDataclass):
 
 
 def device_span_mask(rng, batch: int, frame: int, prob: float, length: int,
-                     min_mask_num: int = 2) -> jnp.ndarray:
+                     min_mask_num: int = 2,
+                     flens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Static-policy span mask on device (True = masked).
 
     Equivalent to the reference's numpy span_mask with policy='static' and
@@ -79,14 +80,22 @@ def device_span_mask(rng, batch: int, frame: int, prob: float, length: int,
     the deterministic expectation (fixed shapes under jit) and per-row masked
     counts are not equalized — downstream losses weight by the mask instead
     of gathering.
+
+    ``flens`` (per-row valid frame counts) restricts spans to the valid
+    region and keeps the mask off padding. Randomness is folded in per row,
+    so a row's mask does not depend on the batch it is collated into.
     """
     mask_num = max(min_mask_num, int(prob * frame / float(length) + 0.5))
-    span_max = max(frame - length, 1)
-    starts = jax.random.randint(
-        rng, (batch, mask_num), 0, span_max)  # (B, M)
+    if flens is None:
+        flens = jnp.full((batch,), frame, jnp.int32)
+    span_max = jnp.maximum(flens - length, 1).astype(jnp.float32)  # (B,)
+    row_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        rng, jnp.arange(batch))
+    u = jax.vmap(lambda k: jax.random.uniform(k, (mask_num,)))(row_keys)
+    starts = jnp.floor(u * span_max[:, None]).astype(jnp.int32)  # (B, M)
     pos = jnp.arange(frame)[None, None, :]  # (1, 1, F)
     in_span = (pos >= starts[:, :, None]) & (pos < starts[:, :, None] + length)
-    return in_span.any(axis=1)  # (B, F)
+    return in_span.any(axis=1) & (jnp.arange(frame)[None, :] < flens[:, None])
 
 
 @register_model("wav2vec2", dataclass=Wav2Vec2Config)
@@ -117,6 +126,7 @@ class Wav2Vec2(LiteasrModel):
 
     def setup(self):
         conv_layers = tuple(eval(self.conv_feature_layers))  # noqa: S307
+        self.conv_geometry = tuple((k, s) for _, k, s in conv_layers)
         self.embed_dim = conv_layers[-1][0]
         self.feature_extractor = ConvFeatureExtractor(
             conv_layers=conv_layers, conv_bias=self.conv_bias,
@@ -151,8 +161,20 @@ class Wav2Vec2(LiteasrModel):
         )
         self.linear_final = nn.Dense(final_dim, dtype=self.dtype)
 
-    def __call__(self, source, train: bool = False, temp: float = 2.0):
-        """source: (B, T) waveform. Returns (logits (N+1, B, F), mask (B, F))."""
+    def feature_lengths(self, xlens: jnp.ndarray) -> jnp.ndarray:
+        """Waveform sample counts -> conv feature-frame counts."""
+        lens = xlens
+        for k, s in self.conv_geometry:
+            lens = (lens - k) // s + 1
+        return jnp.maximum(lens, 1)
+
+    def __call__(self, source, xlens=None, train: bool = False,
+                 temp: float = 2.0):
+        """source: (B, T) waveform; xlens: optional (B,) valid sample counts.
+
+        Returns (logits (N+1, B, F), mask (B, F)). ``mask`` is True only on
+        masked *valid* frames, so downstream losses can weight by it directly.
+        """
         # 1. feature extraction
         features = self.feature_extractor(source, train=train)  # (B, F, C)
         features = self.layer_norm(features)
@@ -162,6 +184,10 @@ class Wav2Vec2(LiteasrModel):
         features = self.drop_input(features, deterministic=not train)
 
         B, F, _ = features.shape
+        if xlens is not None:
+            flens = jnp.minimum(self.feature_lengths(xlens), F)
+        else:
+            flens = jnp.full((B,), F, jnp.int32)
 
         # 2. span masking with the learned mask embedding
         if self.has_rng("mask"):
@@ -169,7 +195,8 @@ class Wav2Vec2(LiteasrModel):
         else:
             mask_rng = jax.random.PRNGKey(0)
         mask = device_span_mask(
-            mask_rng, B, F, self.mask_prob, self.mask_length)  # (B, F)
+            mask_rng, B, F, self.mask_prob, self.mask_length,
+            flens=flens)  # (B, F)
         x = jnp.where(mask[:, :, None],
                       self.mask_emb[None, None, :].astype(features.dtype),
                       features)
@@ -178,22 +205,51 @@ class Wav2Vec2(LiteasrModel):
         x = self.encoder(x, train=train)
         x = self.linear_final(x)  # (B, F, final)
 
-        # 4. quantized targets
+        # 4. quantized targets (every frame; the reference gathers masked
+        # frames first — here shapes stay static and the loss weights by mask)
         y, _ = self.quantizer(unmasked_features, temp=temp, train=train)
         y = self.linear_quantizer(y)  # (B, F, final)
 
-        # 5. in-sample negatives: for each position, num_negatives others
+        # 5. negatives: num_negatives distractor frames per target position,
+        # drawn within the same sample. Candidate pool per reference
+        # (wav2vec2.py:298-312): masked frames by default; every (valid)
+        # frame when negatives_from_everywhere is set. Randomness folds in
+        # per row so batch padding cannot perturb a row's negatives.
         if self.has_rng("negatives"):
             neg_rng = self.make_rng("negatives")
         else:
             neg_rng = jax.random.PRNGKey(1)
-        neg_idx = jax.random.randint(
-            neg_rng, (B, F * self.num_negatives), 0, max(F - 1, 1))
-        self_idx = jnp.repeat(jnp.arange(F), self.num_negatives)[None, :]
-        neg_idx = jnp.where(neg_idx >= self_idx, neg_idx + 1, neg_idx)
-        neg_idx = jnp.clip(neg_idx, 0, F - 1)
+        row_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            neg_rng, jnp.arange(B))
+        u = jax.vmap(
+            lambda k: jax.random.uniform(k, (F, self.num_negatives)))(
+            row_keys)  # (B, F, N)
+
+        if self.negatives_from_everywhere:
+            # pool = all valid frames, self-excluded
+            pool = jnp.maximum(flens - 1, 1)[:, None, None]  # (B, 1, 1)
+            draw = jnp.floor(u * pool).astype(jnp.int32)
+            self_pos = jnp.arange(F)[None, :, None]
+            frame_idx = jnp.where(draw >= self_pos, draw + 1, draw)
+            frame_idx = jnp.clip(frame_idx, 0, F - 1)  # (B, F, N)
+        else:
+            # pool = masked frames, self-excluded among them. order lists
+            # masked frame indices first; rank is each frame's position in
+            # that list (meaningful only where mask is True, which is the
+            # only place the loss looks).
+            order = jnp.argsort(~mask, axis=1, stable=True)  # (B, F)
+            rank = jnp.cumsum(mask, axis=1) - 1  # (B, F)
+            m_row = jnp.maximum(mask.sum(axis=1), 2)  # (B,)
+            draw = jnp.floor(
+                u * (m_row[:, None, None] - 1)).astype(jnp.int32)
+            draw = jnp.where(draw >= rank[:, :, None], draw + 1, draw)
+            draw = jnp.clip(draw, 0, m_row[:, None, None] - 1)
+            frame_idx = jnp.take_along_axis(
+                order, draw.reshape(B, F * self.num_negatives), axis=1
+            ).reshape(B, F, self.num_negatives)
+
         negs = jnp.take_along_axis(
-            y, neg_idx[:, :, None], axis=1)  # (B, F*N, final)
+            y, frame_idx.reshape(B, -1)[:, :, None], axis=1)
         negs = negs.reshape(B, F, self.num_negatives, -1)
         negs = jnp.moveaxis(negs, 2, 0)  # (N, B, F, final)
 

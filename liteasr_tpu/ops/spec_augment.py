@@ -64,14 +64,18 @@ def _axis_mask_one(rng, x, xlen, param: int, times: int, axis: int,
         k1, k2, k3 = jax.random.split(key, 3)
         bound = jax.random.randint(k1, (), 0, max(param, 1))
         width = jax.random.randint(k2, (), 0, max(param, 1))
+        # start ~ U[0, limit): floor(uniform * limit) is unbiased under a
+        # traced bound (randint-then-modulo skews toward small starts)
         if axis == 1:
             limit = jnp.maximum(size - bound, 1)
-            start = jax.random.randint(k3, (), 0, D) % limit
+            start = jnp.floor(
+                jax.random.uniform(k3) * limit).astype(jnp.int32)
             idx = jnp.arange(D)[None, :]
             hit = (idx >= start) & (idx < start + width)
         else:
             limit = jnp.maximum(xlen - bound, 1)
-            start = jax.random.randint(k3, (), 0, T) % limit
+            start = jnp.floor(
+                jax.random.uniform(k3) * limit).astype(jnp.int32)
             idx = jnp.arange(T)[:, None]
             hit = (idx >= start) & (idx < start + width) & (idx < xlen)
         return jnp.where(hit, fill, x), None

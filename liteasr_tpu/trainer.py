@@ -33,7 +33,7 @@ from liteasr_tpu.parallel import (
     replicated_sharding,
     shard_batch,
 )
-from liteasr_tpu.utils.trigger import EventManager, Trigger
+from liteasr_tpu.utils.trigger import EventManager
 
 logger = logging.getLogger(__name__)
 
@@ -134,7 +134,8 @@ class Trainer:
         self._specaug_kwargs = None
         if (pp.get("on_device", False)
                 and "spec_aug" in (pp.get("workflow") or [])
-                and "xlens" in init_batch):
+                and "xlens" in init_batch
+                and init_batch["xs"].ndim == 3):  # features, not raw waves
             sa = pp.get("spec_aug") or {}
             self._specaug_kwargs = dict(
                 time_warp=int(sa.get("time_warp", 5)),
@@ -270,13 +271,14 @@ class Trainer:
     # ------------------------------------------------------------- events
 
     def _add_events(self):
-        trigger_store = {}
-        for t in self.cfg.common.trigger:
-            trigger_store[t["name"]] = Trigger(t["interval"], t["unit"])
         self.event_manager = EventManager()
-        for key, trig in trigger_store.items():
-            if hasattr(self, key):
-                self.event_manager.add_event(trig(getattr(self, key)))
+        for t in self.cfg.common.trigger:
+            if hasattr(self, t["name"]):
+                self.event_manager.register(
+                    getattr(self, t["name"]), t["interval"], t["unit"])
+        # a resumed run restores iter/epoch before the events exist; snap
+        # each trigger past the boundaries the pre-restart run already handled
+        self.event_manager.align(self.iter, self.epoch)
 
     @property
     def epoch(self):

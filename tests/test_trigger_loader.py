@@ -3,7 +3,7 @@
 import numpy as np
 
 from liteasr_tpu.data.loader import EpochDataLoader
-from liteasr_tpu.utils.trigger import EventManager, Trigger
+from liteasr_tpu.utils.trigger import EventManager
 
 
 class FakeTrainer:
@@ -15,9 +15,8 @@ class FakeTrainer:
 def test_trigger_fires_on_interval():
     trainer = FakeTrainer()
     fired = []
-    trig = Trigger(2, "iteration")
     em = EventManager()
-    em.add_event(trig(lambda: fired.append(trainer.iter)))
+    em.register(lambda: fired.append(trainer.iter), 2, "iteration")
 
     for i in range(1, 7):
         trainer.iter = i
@@ -28,9 +27,8 @@ def test_trigger_fires_on_interval():
 def test_epoch_trigger_independent_of_iteration_events():
     trainer = FakeTrainer()
     fired = []
-    trig = Trigger(1, "epoch")
     em = EventManager()
-    em.add_event(trig(lambda: fired.append(trainer.epoch)))
+    em.register(lambda: fired.append(trainer.epoch), 1, "epoch")
 
     em.trigger_iteration_events(trainer)  # wrong unit: no fire
     assert fired == []
@@ -38,6 +36,44 @@ def test_epoch_trigger_independent_of_iteration_events():
     em.trigger_epoch_events(trainer)
     em.trigger_epoch_events(trainer)  # same epoch: fires once
     assert fired == [1]
+
+
+def test_trigger_survives_resume_past_first_boundary():
+    """ADVICE round-1 high: a run resumed at iter=1000 (interval 100) must
+    keep firing; exact-equality triggers would stay silent forever."""
+    trainer = FakeTrainer()
+    fired = []
+    em = EventManager()
+    em.register(lambda: fired.append(trainer.iter), 100, "iteration")
+
+    trainer.iter = 1000  # restored by resume
+    em.align(trainer.iter, trainer.epoch)
+    em.trigger_iteration_events(trainer)
+    assert fired == []  # boundary 1000 was covered by the pre-restart run
+
+    for i in range(1001, 1201):
+        trainer.iter = i
+        em.trigger_iteration_events(trainer)
+    assert fired == [1100, 1200]
+
+
+def test_trigger_catches_up_after_counter_jump():
+    """Boundary-crossing semantics: a skipped exact boundary still fires
+    (once) at the next poll instead of being lost."""
+    trainer = FakeTrainer()
+    fired = []
+    em = EventManager()
+    em.register(lambda: fired.append(trainer.iter), 10, "iteration")
+
+    trainer.iter = 25  # jumped over boundaries 10 and 20
+    em.trigger_iteration_events(trainer)
+    assert fired == [25]  # one catch-up fire, not two
+    trainer.iter = 29
+    em.trigger_iteration_events(trainer)
+    assert fired == [25]  # next boundary is 30
+    trainer.iter = 30
+    em.trigger_iteration_events(trainer)
+    assert fired == [25, 30]
 
 
 class ListDataset:
