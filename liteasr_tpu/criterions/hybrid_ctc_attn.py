@@ -98,15 +98,27 @@ class HybridCTCLoss(LiteasrLoss):
             self.padding_idx) / nutt
 
         logp_ctc = jax.nn.log_softmax(h_ctc.astype(jnp.float32), axis=-1)
-        per_utt = ctc_loss(
-            logp_ctc, jnp.where(ys == self.padding_idx, 0, ys),
-            model.get_pred_len(xlens), ylens)
-        loss_ctc = (per_utt * valid).sum() / nutt
+        tgt_ctc_ids = jnp.where(ys == self.padding_idx, 0, ys)
+        pred_len = model.get_pred_len(xlens)
+        per_utt = ctc_loss(logp_ctc, tgt_ctc_ids, pred_len, ylens)
+        # CTC needs pred_len >= ylen + repeated-label count; an infeasible
+        # row has no lattice path and its "loss" is the DP's -NEG_INF filler
+        # (~1e30, finite, so apply_if_finite would NOT skip it). Zero such
+        # rows out, like torch.nn.CTCLoss(zero_infinity=True) — the
+        # reference's default (inf -> NaN -> skip the whole step) throws away
+        # the entire batch for one bad utterance.
+        pos = jnp.arange(ys.shape[1])[None, :]
+        repeats = ((tgt_ctc_ids[:, 1:] == tgt_ctc_ids[:, :-1])
+                   & (pos[:, 1:] < ylens[:, None])).sum(axis=1)
+        feasible = (pred_len >= ylens + repeats).astype(jnp.float32)
+        ctc_w = valid * feasible
+        loss_ctc = (per_utt * ctc_w).sum() / nutt
 
         loss = self.ctc_weight * loss_ctc + (1 - self.ctc_weight) * loss_attn
         aux = {
             "loss_attn": loss_attn,
             "loss_ctc": loss_ctc,
+            "ctc_infeasible": (valid * (1.0 - feasible)).sum(),
             "model_state": new_model_state,
         }
         return loss, aux

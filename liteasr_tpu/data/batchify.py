@@ -1,149 +1,133 @@
-"""Length-sorted greedy bucketing into variable-size minibatches.
+"""Greedy minibatch assembly over a length-sorted index stream.
 
-Reference: liteasr/utils/batchify.py:12-182 (SeqBatch shrinks batch size by a
-max_len_in/out factor; FrameBatch caps total in/out/inout frames; Wav2VecBatch
-caps min_frame * count). Because samples arrive sorted descending by length,
-each minibatch is nearly length-homogeneous — exactly what the TPU's
-bucketed-padding pipeline wants (few distinct padded shapes, little waste).
+Capability parity with the reference policies (liteasr/utils/batchify.py:
+12-182): indices arrive sorted descending by input length, and each policy
+decides how many consecutive samples fit in one minibatch. Because of the
+sort, every minibatch is nearly length-homogeneous — which is exactly what
+the TPU's bucketed-padding pipeline wants (few distinct padded shapes,
+minimal pad waste).
+
+A policy contributes three hooks to the shared sweep in ``batchify``:
+
+* ``open_batch(sample)``  -> stats for a batch starting with ``sample``
+* ``admits(stats, sample)`` -> would ``sample`` still fit?
+* ``absorb(stats, sample)`` -> account ``sample`` into ``stats``
 """
 
 import logging
-from typing import List
+from typing import Dict, List
 
 logger = logging.getLogger(__name__)
 
 
 class BatchifyPolicy:
     def __init__(self, dataset_cfg):
-        self._num = 0
+        self.cfg = dataset_cfg
         self.data: List[List[int]] = []
-        self.minibatch: List[int] = []
-        self.dataset_cfg = dataset_cfg
-        self.sample = None
 
-    @property
-    def empty(self) -> bool:
-        return len(self.minibatch) == 0
-
-    @property
-    def full(self) -> bool:
+    # -- policy hooks -------------------------------------------------
+    def open_batch(self, sample) -> Dict:
         raise NotImplementedError
 
-    def push(self, idx: int):
+    def admits(self, stats: Dict, sample) -> bool:
         raise NotImplementedError
 
-    def pop(self):
-        self.data.append(self.minibatch)
-        self._num += len(self.minibatch)
-        self.minibatch = []
-
-    def refresh(self):
+    def absorb(self, stats: Dict, sample) -> None:
         raise NotImplementedError
 
-    def batchify(self, indices, samples):
-        assert len(indices) == len(samples), f"{len(samples)}"
-        self.refresh()
+    # -- shared sweep -------------------------------------------------
+    def batchify(self, indices, samples) -> None:
+        if len(indices) != len(samples):
+            raise ValueError(
+                f"{len(indices)} indices for {len(samples)} samples")
+        batch: List[int] = []
+        stats: Dict = {}
         for idx in indices:
-            self.sample = samples[idx]
-            if self.full:
-                self.pop()
-                self.refresh()
-            self.push(idx)
-        if not self.empty:
-            self.pop()
-            self.refresh()
+            sample = samples[idx]
+            if batch and not self.admits(stats, sample):
+                self.data.append(batch)
+                batch = []
+            if not batch:
+                stats = self.open_batch(sample)
+            else:
+                self.absorb(stats, sample)
+            batch.append(idx)
+        if batch:
+            self.data.append(batch)
 
-    def __getitem__(self, index):
+    def __getitem__(self, index: int) -> List[int]:
         return self.data[index]
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self.data)
 
 
 class SeqBatch(BatchifyPolicy):
-    """Dynamic batch size = batch_size / (1 + max(ilen/max_len_in,
-    olen/max_len_out)) (liteasr/utils/batchify.py:76-113)."""
+    """Fixed sample count per batch, shrunk for long utterances.
 
-    @property
-    def full(self):
-        return len(self.minibatch) == self.dynamic_batch_size
+    The first (longest) sample of a batch sets its capacity:
+    ``batch_size / (1 + max(ilen // max_len_in, olen // max_len_out))``,
+    floored at ``min_batch_size``
+    (reference semantics: liteasr/utils/batchify.py:76-113).
+    """
 
-    def push(self, idx):
-        if self.empty:
-            self.minibatch.append(idx)
-            self.refresh()
-        else:
-            self.minibatch.append(idx)
+    def open_batch(self, sample):
+        cfg = self.cfg
+        shrink = max(int(sample.xlen / cfg.max_len_in),
+                     int(sample.ylen / cfg.max_len_out))
+        capacity = max(cfg.min_batch_size or 1,
+                       int(cfg.batch_size / (1 + shrink)))
+        return {"capacity": capacity, "count": 1}
 
-    def refresh(self):
-        cfg = self.dataset_cfg
-        if self.empty:
-            self.factor = 0
-            self.dynamic_batch_size = cfg.batch_size
-            self.max_ilen = 0
-            self.max_olen = 0
-        else:
-            self.max_ilen = self.sample.xlen
-            self.max_olen = self.sample.ylen
-            self.factor = max(
-                int(self.max_ilen / cfg.max_len_in),
-                int(self.max_olen / cfg.max_len_out),
-            )
-            self.dynamic_batch_size = max(
-                cfg.min_batch_size or 1,
-                int(cfg.batch_size / (1 + self.factor)),
-            )
+    def admits(self, stats, sample):
+        return stats["count"] < stats["capacity"]
+
+    def absorb(self, stats, sample):
+        stats["count"] += 1
 
 
 class FrameBatch(BatchifyPolicy):
-    """Caps max_ilen/olen * batch to max_frame_in/out/inout
-    (liteasr/utils/batchify.py:115-159)."""
+    """Caps total padded frames: max_len * count against each of
+    ``max_frame_in`` / ``max_frame_out`` / ``max_frame_inout``
+    (reference semantics: liteasr/utils/batchify.py:115-159)."""
 
-    @property
-    def full(self):
-        cfg = self.dataset_cfg
-        max_ilen = max(self.max_ilen, self.sample.xlen)
-        max_olen = max(self.max_olen, self.sample.ylen)
-        exp_size = len(self.minibatch) + 1
-        if cfg.max_frame_in and max_ilen * exp_size > cfg.max_frame_in:
-            return True
-        if cfg.max_frame_out and max_olen * exp_size > cfg.max_frame_out:
-            return True
-        if cfg.max_frame_inout and \
-                (max_ilen + max_olen) * exp_size > cfg.max_frame_inout:
-            return True
-        return False
+    def open_batch(self, sample):
+        return {"count": 1, "ilen": sample.xlen, "olen": sample.ylen}
 
-    def push(self, idx):
-        self.minibatch.append(idx)
-        self.refresh()
+    def admits(self, stats, sample):
+        cfg = self.cfg
+        ilen = max(stats["ilen"], sample.xlen)
+        olen = max(stats["olen"], sample.ylen)
+        count = stats["count"] + 1
+        if cfg.max_frame_in and ilen * count > cfg.max_frame_in:
+            return False
+        if cfg.max_frame_out and olen * count > cfg.max_frame_out:
+            return False
+        if cfg.max_frame_inout and (ilen + olen) * count > cfg.max_frame_inout:
+            return False
+        return True
 
-    def refresh(self):
-        if self.empty:
-            self.max_ilen = 0
-            self.max_olen = 0
-        else:
-            self.max_ilen = max(self.max_ilen, self.sample.xlen)
-            self.max_olen = max(self.max_olen, self.sample.ylen)
+    def absorb(self, stats, sample):
+        stats["count"] += 1
+        stats["ilen"] = max(stats["ilen"], sample.xlen)
+        stats["olen"] = max(stats["olen"], sample.ylen)
 
 
 class Wav2VecBatch(BatchifyPolicy):
-    """(count+1) * min_frame <= 1.4M samples (liteasr/utils/batchify.py:162-182)."""
+    """Raw-wave batches: crop-to-min times count stays under a sample
+    budget (reference semantics: liteasr/utils/batchify.py:162-182)."""
 
     max_batch_frame: int = 1400000
     crop_frames: int = 250000
 
-    @property
-    def full(self) -> bool:
-        min_frame = min(self.min_frame, self.sample.xlen)
-        return (len(self.minibatch) + 1) * min_frame > self.max_batch_frame
+    def open_batch(self, sample):
+        return {"count": 1,
+                "min_frame": min(sample.xlen, self.crop_frames)}
 
-    def push(self, idx: int):
-        self.minibatch.append(idx)
-        self.refresh()
+    def admits(self, stats, sample):
+        min_frame = min(stats["min_frame"], sample.xlen)
+        return (stats["count"] + 1) * min_frame <= self.max_batch_frame
 
-    def refresh(self):
-        if self.empty:
-            self.min_frame = self.crop_frames
-        else:
-            self.min_frame = min(self.min_frame, self.sample.xlen)
+    def absorb(self, stats, sample):
+        stats["count"] += 1
+        stats["min_frame"] = min(stats["min_frame"], sample.xlen)

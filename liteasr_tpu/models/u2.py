@@ -50,6 +50,9 @@ class U2Config(LiteasrDataclass):
     dynamic_chunk: bool = False
     # rematerialize encoder layers (memory for FLOPs)
     remat: bool = False
+    # pre-LN (True, reference default) vs post-LN sublayers
+    # (liteasr/nets/transformer_layer.py:17)
+    normalize_before: bool = True
 
     # attention decoder
     dec_arch: str = "transformer"
@@ -87,6 +90,7 @@ class U2(LiteasrModel):
     static_chunk_size: int = 0
     dynamic_chunk: bool = False
     remat: bool = False
+    normalize_before: bool = True
     dec_dim: int = 256
     dec_ff_dim: int = 2048
     dec_attn_heads: int = 4
@@ -122,6 +126,7 @@ class U2(LiteasrModel):
             static_chunk_size=self.static_chunk_size,
             dynamic_chunk=self.dynamic_chunk,
             remat=self.remat,
+            normalize_before=self.normalize_before,
             dtype=self.dtype,
         )
         self.decoder = TransformerDecoder(
@@ -135,6 +140,7 @@ class U2(LiteasrModel):
             self_attn_dropout_rate=self.dec_self_attn_dropout_rate,
             src_attn_dropout_rate=self.dec_src_attn_dropout_rate,
             ff_dropout_rate=self.dec_ff_dropout_rate,
+            normalize_before=self.normalize_before,
             dtype=self.dtype,
         )
         self.ctc_dropout = nn.Dropout(self.dropout_rate)
@@ -222,6 +228,7 @@ class U2(LiteasrModel):
             static_chunk_size=int(cfg.get("static_chunk_size", 0)),
             dynamic_chunk=bool(cfg.get("dynamic_chunk", False)),
             remat=bool(cfg.get("remat", False)),
+            normalize_before=bool(cfg.get("normalize_before", True)),
             dec_dim=cfg.dec_dim,
             dec_ff_dim=cfg.dec_ff_dim,
             dec_attn_heads=cfg.dec_attn_heads,

@@ -28,6 +28,8 @@ class TransformerDecoder(nn.Module):
     self_attn_dropout_rate: float
     src_attn_dropout_rate: float
     ff_dropout_rate: float
+    # pre-LN (True, reference default) vs post-LN sublayers
+    normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -62,6 +64,7 @@ class TransformerDecoder(nn.Module):
                 self_attn_dropout_rate=self.self_attn_dropout_rate,
                 src_attn_dropout_rate=self.src_attn_dropout_rate,
                 ff_dropout_rate=self.ff_dropout_rate,
+                normalize_before=self.normalize_before,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(y, memory, mask=mask, memory_mask=memory_mask, train=train)

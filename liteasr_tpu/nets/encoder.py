@@ -51,6 +51,9 @@ class TransformerEncoder(nn.Module):
     # rematerialize encoder layers in the backward pass (jax.checkpoint):
     # trades ~30% more FLOPs for O(layers) less activation memory
     remat: bool = False
+    # pre-LN (True, reference default) vs post-LN sublayers
+    # (liteasr/nets/transformer_layer.py:17, conformer_layer.py:19)
+    normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -111,6 +114,7 @@ class TransformerEncoder(nn.Module):
             ff_dropout_rate=self.ff_dropout_rate,
             activation=self.activation,
             use_rel=self.use_rel,
+            normalize_before=self.normalize_before,
             dtype=self.dtype,
         )
         if self.arch == "conformer":

@@ -1,8 +1,12 @@
 """Transformer / Conformer residual sublayer compositions.
 
-Reference: liteasr/nets/transformer_layer.py:10-221 (pre-LN encoder/decoder
-layers) and liteasr/nets/conformer_layer.py:10-147 (macaron-FF x0.5 -> MHA ->
-conv -> FF x0.5 -> final LN).
+Reference: liteasr/nets/transformer_layer.py:10-221 (encoder/decoder layers
+with a pre/post-LN ``normalize_before`` toggle) and
+liteasr/nets/conformer_layer.py:10-147 (macaron-FF x0.5 -> MHA -> conv ->
+FF x0.5 -> final LN, same toggle).
+
+``normalize_before=True`` (default, matching the reference):
+``x + drop(sublayer(LN(x)))``; False: ``LN(x + drop(sublayer(x)))``.
 """
 
 from typing import Optional
@@ -64,8 +68,15 @@ class ConformerConvolution(nn.Module):
         return nn.Dense(channels, dtype=self.dtype, name="pointwise_conv2")(x)
 
 
+def _residual(x, norm, fn, drop, pre_ln: bool, scale: float = 1.0):
+    """One residual sublayer under either LN placement."""
+    y = fn(norm(x) if pre_ln else x)
+    x = x + scale * drop(y)
+    return x if pre_ln else norm(x)
+
+
 class EncoderLayer(nn.Module):
-    """Pre-LN transformer encoder layer (transformer_layer.py:10-76)."""
+    """Transformer encoder layer (transformer_layer.py:10-76)."""
 
     n_head: int
     ff_dim: int
@@ -74,6 +85,7 @@ class EncoderLayer(nn.Module):
     ff_dropout_rate: float
     activation: str = "relu"
     use_rel: bool = False
+    normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -81,24 +93,24 @@ class EncoderLayer(nn.Module):
                  train: bool = False):
         drop = nn.Dropout(self.dropout_rate, deterministic=not train)
 
-        residual = x
-        y = LayerNorm(dtype=self.dtype, name="self_attn_norm")(x)
-        if self.use_rel:
-            y = RelativeMultiHeadAttention(
-                self.n_head, self.attn_dropout_rate, dtype=self.dtype,
-                name="self_attn")(y, y, y, pos_emb, mask, train)
-        else:
-            y = MultiHeadAttention(
+        def attn(y):
+            if self.use_rel:
+                return RelativeMultiHeadAttention(
+                    self.n_head, self.attn_dropout_rate, dtype=self.dtype,
+                    name="self_attn")(y, y, y, pos_emb, mask, train)
+            return MultiHeadAttention(
                 self.n_head, self.attn_dropout_rate, dtype=self.dtype,
                 name="self_attn")(y, y, y, mask, train)
-        x = residual + drop(y)
 
-        residual = x
-        y = LayerNorm(dtype=self.dtype, name="feed_forward_norm")(x)
-        y = PositionwiseFeedForward(
-            self.ff_dim, self.ff_dropout_rate, self.activation,
-            dtype=self.dtype, name="feed_forward")(y, train)
-        return residual + drop(y)
+        x = _residual(
+            x, LayerNorm(dtype=self.dtype, name="self_attn_norm"),
+            attn, drop, self.normalize_before)
+        return _residual(
+            x, LayerNorm(dtype=self.dtype, name="feed_forward_norm"),
+            lambda y: PositionwiseFeedForward(
+                self.ff_dim, self.ff_dropout_rate, self.activation,
+                dtype=self.dtype, name="feed_forward")(y, train),
+            drop, self.normalize_before)
 
 
 class ConformerLayer(nn.Module):
@@ -112,50 +124,46 @@ class ConformerLayer(nn.Module):
     conv_kernel: int = 15
     activation: str = "swish"
     use_rel: bool = True
+    normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos_emb=None, mask: Optional[jnp.ndarray] = None,
                  train: bool = False):
         drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+        pre = self.normalize_before
         ff_scale = 0.5
 
-        # macaron feed-forward
-        residual = x
-        y = LayerNorm(dtype=self.dtype, name="feed_forward_macaron_norm")(x)
-        y = PositionwiseFeedForward(
-            self.ff_dim, self.ff_dropout_rate, self.activation,
-            dtype=self.dtype, name="feed_forward_macaron")(y, train)
-        x = residual + ff_scale * drop(y)
-
-        # self attention
-        residual = x
-        y = LayerNorm(dtype=self.dtype, name="self_attn_norm")(x)
-        if self.use_rel:
-            y = RelativeMultiHeadAttention(
-                self.n_head, self.attn_dropout_rate, dtype=self.dtype,
-                name="self_attn")(y, y, y, pos_emb, mask, train)
-        else:
-            y = MultiHeadAttention(
+        def attn(y):
+            if self.use_rel:
+                return RelativeMultiHeadAttention(
+                    self.n_head, self.attn_dropout_rate, dtype=self.dtype,
+                    name="self_attn")(y, y, y, pos_emb, mask, train)
+            return MultiHeadAttention(
                 self.n_head, self.attn_dropout_rate, dtype=self.dtype,
                 name="self_attn")(y, y, y, mask, train)
-        x = residual + drop(y)
 
-        # convolution module
-        residual = x
-        y = LayerNorm(dtype=self.dtype, name="conv_norm")(x)
-        y = ConformerConvolution(
-            self.conv_kernel, self.activation, dtype=self.dtype,
-            name="conv")(y, train)
-        x = residual + drop(y)
-
-        # feed-forward
-        residual = x
-        y = LayerNorm(dtype=self.dtype, name="feed_forward_norm")(x)
-        y = PositionwiseFeedForward(
-            self.ff_dim, self.ff_dropout_rate, self.activation,
-            dtype=self.dtype, name="feed_forward")(y, train)
-        x = residual + ff_scale * drop(y)
+        x = _residual(
+            x, LayerNorm(dtype=self.dtype, name="feed_forward_macaron_norm"),
+            lambda y: PositionwiseFeedForward(
+                self.ff_dim, self.ff_dropout_rate, self.activation,
+                dtype=self.dtype, name="feed_forward_macaron")(y, train),
+            drop, pre, scale=ff_scale)
+        x = _residual(
+            x, LayerNorm(dtype=self.dtype, name="self_attn_norm"),
+            attn, drop, pre)
+        x = _residual(
+            x, LayerNorm(dtype=self.dtype, name="conv_norm"),
+            lambda y: ConformerConvolution(
+                self.conv_kernel, self.activation, dtype=self.dtype,
+                name="conv")(y, train),
+            drop, pre)
+        x = _residual(
+            x, LayerNorm(dtype=self.dtype, name="feed_forward_norm"),
+            lambda y: PositionwiseFeedForward(
+                self.ff_dim, self.ff_dropout_rate, self.activation,
+                dtype=self.dtype, name="feed_forward")(y, train),
+            drop, pre, scale=ff_scale)
 
         return LayerNorm(dtype=self.dtype, name="final_norm")(x)
 
@@ -169,30 +177,30 @@ class DecoderLayer(nn.Module):
     self_attn_dropout_rate: float
     src_attn_dropout_rate: float
     ff_dropout_rate: float
+    normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, y, memory, mask=None, memory_mask=None,
                  train: bool = False):
         drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+        pre = self.normalize_before
 
-        residual = y
-        z = LayerNorm(dtype=self.dtype, name="self_attn_norm")(y)
-        z = MultiHeadAttention(
-            self.n_head, self.self_attn_dropout_rate, dtype=self.dtype,
-            name="self_attn")(z, z, z, mask, train)
-        y = residual + drop(z)
-
-        residual = y
-        z = LayerNorm(dtype=self.dtype, name="src_attn_norm")(y)
-        z = MultiHeadAttention(
-            self.n_head, self.src_attn_dropout_rate, dtype=self.dtype,
-            name="src_attn")(z, memory, memory, memory_mask, train)
-        y = residual + drop(z)
-
-        residual = y
-        z = LayerNorm(dtype=self.dtype, name="feed_forward_norm")(y)
-        z = PositionwiseFeedForward(
-            self.ff_dim, self.ff_dropout_rate, dtype=self.dtype,
-            name="feed_forward")(z, train)
-        return residual + drop(z)
+        y = _residual(
+            y, LayerNorm(dtype=self.dtype, name="self_attn_norm"),
+            lambda z: MultiHeadAttention(
+                self.n_head, self.self_attn_dropout_rate, dtype=self.dtype,
+                name="self_attn")(z, z, z, mask, train),
+            drop, pre)
+        y = _residual(
+            y, LayerNorm(dtype=self.dtype, name="src_attn_norm"),
+            lambda z: MultiHeadAttention(
+                self.n_head, self.src_attn_dropout_rate, dtype=self.dtype,
+                name="src_attn")(z, memory, memory, memory_mask, train),
+            drop, pre)
+        return _residual(
+            y, LayerNorm(dtype=self.dtype, name="feed_forward_norm"),
+            lambda z: PositionwiseFeedForward(
+                self.ff_dim, self.ff_dropout_rate, dtype=self.dtype,
+                name="feed_forward")(z, train),
+            drop, pre)

@@ -32,11 +32,13 @@ def setup_logging(run_dir: str, level: str = "INFO",
                   filename: str = "train.log") -> None:
     os.makedirs(run_dir, exist_ok=True)
     root = logging.getLogger()
-    root.setLevel(logging.NOTSET)
+    # both handlers honor the configured level — an unlevelled file handler
+    # under a NOTSET root collects jax's DEBUG stream (~100 MB/hour through
+    # the remote-compile tunnel) into train.log
+    root.setLevel(getattr(logging, level.upper()))
     for h in list(root.handlers):
         root.removeHandler(h)
     console = logging.StreamHandler()
-    console.setLevel(getattr(logging, level.upper()))
     console.setFormatter(logging.Formatter("[%(levelname)s]: %(message)s"))
     root.addHandler(console)
     fileh = logging.FileHandler(os.path.join(run_dir, filename))

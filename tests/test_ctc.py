@@ -82,3 +82,45 @@ def test_ctc_zero_length_label(rng):
     # all-blank path NLL
     expected = -np.asarray(logp)[0, :, 0].sum()
     np.testing.assert_allclose(np.asarray(out)[0], expected, rtol=1e-5)
+
+
+def test_infeasible_row_is_masked_in_hybrid_loss():
+    """A row with ylen+repeats > pred_len has no CTC lattice path; its DP
+    value is ~1e30 (finite!), so it must be zeroed out of the loss, not
+    averaged in (torch zero_infinity=True semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from liteasr_tpu.config.core import DotDict
+    from liteasr_tpu.criterions.hybrid_ctc_attn import HybridCTCLoss
+    from liteasr_tpu.models.u2 import U2, U2Config
+    from liteasr_tpu.config.core import _node_to_dict
+
+    vocab = 16
+    cfg = DotDict(_node_to_dict(U2Config))
+    cfg.update(dict(input_dim=8, vocab_size=vocab, enc_layers=1,
+                    dec_layers=1, enc_dim=16, enc_ff_dim=32, dec_dim=16,
+                    dec_ff_dim=32, enc_attn_heads=2, dec_attn_heads=2,
+                    dropout_rate=0.0))
+    for k in list(cfg):
+        if isinstance(cfg[k], str) and cfg[k].startswith("${"):
+            cfg[k] = 0.0
+    model = U2.build_model(cfg, None)
+    crit = HybridCTCLoss(DotDict(
+        name="hybrid_ctc", vocab_size=vocab, padding_idx=-1, smoothing=0.1,
+        normalize_length=False, ctc_weight=0.5))
+
+    B, T, U = 2, 20, 8
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(B, T, 8)), jnp.float32)
+    # row 0 feasible (pred_len=4 >= ylen 2); row 1 infeasible (ylen 8 > 4)
+    xlens = jnp.array([T, T], jnp.int32)
+    ys = jnp.asarray(rng.integers(1, vocab - 1, size=(B, U)), jnp.int32)
+    ylens = jnp.array([2, 8], jnp.int32)
+    batch = {"xs": xs, "xlens": xlens, "ys": ys, "ylens": ylens,
+             "valid": jnp.ones(B)}
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           xs, xlens, ys, ylens, train=False)
+    loss, aux = crit(model, variables, batch, train=False)
+    assert float(loss) < 1e4, f"infeasible row leaked into loss: {loss}"
+    assert float(aux["ctc_infeasible"]) == 1.0

@@ -127,7 +127,10 @@ def make_split(root, name, n_utt, rng, anchors, words, word_p, writer_mod,
             sent = list(rng.choice(words, size=n_words, p=word_p))
             feats = render_utterance(rng, sent, anchors, noise_sigma)
             w(uttid, feats)
-            texts.append(f"{uttid} {' '.join(sent)}")
+            # char-level path (task.delimiter=None) reads a single
+            # concatenated token stream: words are separated by silence in
+            # the acoustics but not in the labels (sheet.py TextSheet)
+            texts.append(f"{uttid} {''.join(sent)}")
             frames_lines.append(f"{uttid} {feats.shape[0]}")
             if (i + 1) % 2000 == 0:
                 print(f"  {name}: {i + 1}/{n_utt}", flush=True)

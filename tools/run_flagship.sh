@@ -1,0 +1,22 @@
+#!/bin/bash
+# Flagship convergence run: my_U2 at the reference operating point
+# (BASELINE.md): conformer 12L/256d/2048ff/4H + 6L decoder, bf16 compute,
+# on-device SpecAugment, hybrid CTC/attn (0.3/0.1), Noam warmup 25000,
+# batch 32 / accum 2 / clip 5.0, on the 10.4 h synthetic corpus
+# (tools/make_synth_corpus.py). VERDICT r1 next-round item #1.
+set -e
+cd "$(dirname "$0")/.."
+REPO="$PWD"
+RUN="${1:-$REPO/exp/flagship_run}"
+CORPUS="$REPO/exp/synth_corpus"
+EPOCHS="${2:-48}"
+mkdir -p "$RUN"
+
+PYTHONPATH="$REPO:/root/.axon_site" exec python -m liteasr_tpu.train \
+  task=asr model=my_U2 criterion=my_hybrid_ctc optimizer=my_noam \
+  task.vocab="$CORPUS/vocab.txt" \
+  task.train="$CORPUS/train" task.valid="$CORPUS/valid" \
+  "task.test=[$CORPUS/test]" \
+  task.save_dir="$RUN/ckpts" common.run_dir="$RUN" \
+  model.dtype=bfloat16 \
+  optimization.max_epoch="$EPOCHS"
