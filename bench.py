@@ -33,6 +33,10 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from liteasr_tpu.train import enable_compile_cache
+
+    enable_compile_cache()
+
     from liteasr_tpu.config.core import DotDict, _node_to_dict
     from liteasr_tpu.criterions import build_criterion
     from liteasr_tpu.models.u2 import U2, U2Config

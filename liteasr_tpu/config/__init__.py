@@ -56,6 +56,9 @@ class CommonConfig(LiteasrDataclass):
     # threefry on TPU (dropout masks dominate RNG cost); set "threefry2x32"
     # for cross-platform reproducibility.
     prng_impl: str = "rbg"
+    # persistent XLA executable cache (default ~/.cache/liteasr_jax_cache);
+    # remote-tunnel compiles cost 1-4 min per shape bucket otherwise
+    compile_cache_dir: Optional[str] = None
 
 
 @dataclass

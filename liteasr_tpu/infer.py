@@ -30,8 +30,25 @@ logger = logging.getLogger("liteasr_tpu.infer")
 
 
 def infer_dataset(task, model, variables, dataset, infer_cfg,
-                  pad_time_multiple: int = 128):
-    """Decode one test set; returns (total_err, total_len)."""
+                  pad_time_multiple: int = 128, verbose: bool = True):
+    """Decode one test set in device batches; returns (total_err, total_len).
+
+    Multi-chip: batch rows are padded to a multiple of the mesh's ``dp``
+    degree and placed with a row sharding, so the compiled beam-search
+    pipelines run data-parallel across every chip (replaces the reference's
+    32-process CPU decode pool, liteasr/infer.py:63-94). Params are
+    replicated once up front.
+    """
+    import jax
+
+    from liteasr_tpu.parallel.mesh import (
+        batch_sharding, current_mesh, replicated_sharding)
+
+    mesh = current_mesh()
+    dp = mesh.shape["dp"]
+    row_sharding = batch_sharding(mesh)
+    variables = jax.device_put(variables, replicated_sharding(mesh))
+
     batch_size = int(infer_cfg.get("batch_size", 8))
     beam_size = int(infer_cfg.get("beam_size", 10))
     ctc_weight = float(infer_cfg.get("ctc_weight", 0.5))
@@ -41,40 +58,40 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
     total_err, total_len = 0, 0
     for lo in range(0, len(data), batch_size):
         chunk = data[lo:lo + batch_size]
+        rows = round_up(len(chunk), dp)
         T = round_up(max(a.xlen for a in chunk), pad_time_multiple)
         if fbank:
-            xs = np.zeros((len(chunk), T), np.float32)
+            xs = np.zeros((rows, T), np.float32)
+            xlens = np.full(rows, min(1360, T), np.int32)  # dummy rows
         else:
-            xs = np.zeros((len(chunk), T, dataset.feat_dim), np.float32)
-        xlens = np.zeros(len(chunk), np.int32)
+            xs = np.zeros((rows, T, dataset.feat_dim), np.float32)
+            xlens = np.full(rows, min(7, T), np.int32)
         for i, a in enumerate(chunk):
             xs[i, : a.xlen] = a.x
             xlens[i] = a.xlen
+        xs = jax.device_put(jnp.asarray(xs), row_sharding)
+        xlens = jax.device_put(jnp.asarray(xlens), row_sharding)
         if fbank:
             from liteasr_tpu.ops.fbank import log_mel_fbank
 
-            feats, flens = log_mel_fbank(
-                jnp.asarray(xs), jnp.asarray(xlens),
-                num_mel_bins=dataset.num_mel_bins)
-            xs, xlens = np.asarray(feats), np.asarray(flens)
+            xs, xlens = log_mel_fbank(
+                xs, xlens, num_mel_bins=dataset.num_mel_bins)
         if hasattr(model, "joint"):  # transducer family
             if infer_cfg.get("mode") == "transducer_greedy":
-                hyps = decode.transducer_greedy(
-                    model, variables, jnp.asarray(xs), jnp.asarray(xlens))
+                hyps = decode.transducer_greedy(model, variables, xs, xlens)
             else:  # beam search is the reference default (transducer.py:137)
                 hyps = decode.transducer_beam_search(
-                    model, variables, jnp.asarray(xs), jnp.asarray(xlens),
-                    beam_size=beam_size)
+                    model, variables, xs, xlens, beam_size=beam_size)
         elif hasattr(model, "decode"):  # paraformer: CIF + argmax
             t_sub = int(model.get_pred_len(jnp.array([xs.shape[1]]))[0])
             hyp, ulens = model.apply(
-                variables, jnp.asarray(xs), jnp.asarray(xlens),
-                u_max=max(t_sub, 1), method=model.decode)
+                variables, xs, xlens, u_max=max(t_sub, 1),
+                method=model.decode)
             hyp, ulens = np.asarray(hyp), np.asarray(ulens)
             hyps = [hyp[i, : ulens[i]].tolist() for i in range(len(chunk))]
         else:
             hyps = decode.decode_batch(
-                model, variables, jnp.asarray(xs), jnp.asarray(xlens),
+                model, variables, xs, xlens,
                 beam_size=beam_size, ctc_weight=ctc_weight,
                 mode=infer_cfg.get("mode", "attention_rescore"))
         for a, hyp_ids in zip(chunk, hyps):
@@ -84,11 +101,15 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
             total_err += err
             total_len += len(ref)
             res = "[X]" if ref == hyp else "[ ]"
-            logger.info("\n%s %s\n%3d %s", res, hyp, err, ref)
+            log = logger.info if verbose else logger.debug
+            log("\n%s %s\n%3d %s", res, hyp, err, ref)
     return total_err, total_len
 
 
 def infer(cfg):
+    from liteasr_tpu.train import enable_compile_cache
+
+    enable_compile_cache(cfg.common.get("compile_cache_dir"))
     task = tasks.setup_task(cfg.task)
     logger.info("setting %s task...", task.__class__.__name__)
 

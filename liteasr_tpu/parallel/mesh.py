@@ -55,6 +55,11 @@ def get_mesh(dp: int = -1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
     return _MESH
 
 
+def current_mesh() -> Mesh:
+    """The mesh in use (trainer's, if one exists), else an all-dp mesh."""
+    return _MESH if _MESH is not None else get_mesh()
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

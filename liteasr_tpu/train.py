@@ -46,11 +46,27 @@ def setup_logging(run_dir: str, level: str = "INFO",
     root.addHandler(fileh)
 
 
+def enable_compile_cache(path: Optional[str] = None) -> None:
+    """Persist XLA executables across processes (compiles through the
+    remote tunnel cost 1-4 min per shape bucket; a warm cache makes restarts
+    and repeated benchmarks near-instant)."""
+    import jax
+
+    path = path or os.path.expanduser("~/.cache/liteasr_jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # cache is an optimization, never fatal
+        logger.debug("compilation cache unavailable: %s", e)
+
+
 def train(cfg) -> "object":
     """Build everything and run the trainer; returns the Trainer."""
     from liteasr_tpu.parallel import distributed_init, is_master
     from liteasr_tpu.trainer import Trainer
 
+    enable_compile_cache(cfg.common.get("compile_cache_dir"))
     distributed_init(cfg.distributed)
 
     np.random.seed(cfg.common.seed)
