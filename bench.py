@@ -27,6 +27,58 @@ TARGET_MULTIPLIER = 5.0
 B, T, D, U = 32, 800, 80, 48
 WARMUP, ITERS = 3, 10
 
+# peak dense bf16 FLOP/s per chip by device_kind substring (public specs)
+PEAK_BF16_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+}
+
+
+def train_step_flops(vocab: int, enc_layers=12, dec_layers=6, d=256,
+                     ff=2048, conv_k=15) -> float:
+    """Analytic matmul FLOPs for ONE train step at the operating point.
+
+    Counts GEMMs as 2*M*N*K, fwd + bwd as 3x fwd (standard rule: grads wrt
+    inputs and weights each cost one fwd-equivalent). Elementwise/LN/softmax
+    work is excluded (bandwidth-, not FLOP-bound), so reported MFU is a mild
+    UNDERestimate. Documented in BENCHMARKS.md.
+    """
+    t_sub = ((T - 1) // 2 - 1) // 2  # encoder frames after conv subsampling
+    u_dec = U + 1  # sos-prepended decoder length
+
+    # conv2d front-end: two 3x3 stride-2 convs (1->d, d->d) + linear
+    t2 = (T - 1) // 2
+    sub = 2 * 9 * t2 * (D // 2) * 1 * d \
+        + 2 * 9 * t_sub * (D // 4) * d * d \
+        + 2 * t_sub * (D // 4) * d * d
+
+    # one conformer layer: 2 macaron FFs (2 GEMMs each), attention
+    # (q,k,v,out,pos projections + pos_bias terms), conv module
+    # (pointwise d->2d, d->d + depthwise), per frame
+    ff_flops = 2 * (2 * d * ff * 2)  # two FF modules, two GEMMs each
+    attn_proj = 2 * d * d * 5  # q,k,v,out + rel-pos projection
+    conv_mod = 2 * d * (2 * d) + 2 * d * d + 2 * conv_k * d
+    enc_frame = ff_flops + attn_proj + conv_mod
+    # quadratic attention terms: scores, context, rel-shift matrix_bd
+    enc_quad = 3 * 2 * t_sub * t_sub * d
+
+    # decoder layer: self-attn + src-attn (4 GEMM projections each) + FF
+    dec_frame = 2 * (2 * d * d * 4) + 2 * d * ff * 2
+    dec_quad = 2 * 2 * u_dec * u_dec * d + 2 * 2 * u_dec * t_sub * d
+
+    # output projections: decoder vocab + CTC head
+    heads = 2 * u_dec * d * vocab + 2 * t_sub * d * vocab
+
+    fwd = (sub
+           + enc_layers * (t_sub * enc_frame + enc_quad)
+           + dec_layers * (u_dec * dec_frame + dec_quad)
+           + heads)
+    return 3.0 * fwd * B
+
 
 def main():
     import jax
@@ -128,11 +180,20 @@ def main():
     n_chips = len(jax.devices())
     utts_per_sec = B * ITERS / dt / n_chips  # per chip
     baseline = ASSUMED_REF_UTT_PER_SEC * TARGET_MULTIPLIER
+
+    # MFU: analytic matmul FLOPs / wall clock / peak (see train_step_flops)
+    kind = jax.devices()[0].device_kind.lower()
+    peak = next((v for k, v in PEAK_BF16_FLOPS.items() if k in kind), None)
+    achieved = train_step_flops(vocab) * ITERS / dt / n_chips
+    mfu = round(achieved / peak, 4) if peak else None
     print(json.dumps({
         "metric": "train_utts_per_sec_per_chip",
         "value": round(utts_per_sec, 2),
         "unit": "utt/s",
         "vs_baseline": round(utts_per_sec / baseline, 3),
+        "tflops_per_chip": round(achieved / 1e12, 2),
+        "mfu": mfu,
+        "device_kind": kind,
     }))
 
 

@@ -1,14 +1,17 @@
-"""Host-side batch iteration: shuffling, per-host sharding, prefetch.
+"""Host-side batch iteration: shuffling and multi-threaded prefetch.
 
 Replaces the reference's DataLoader(batch_size=1) + DistributedSampler +
-EpochDataLoader stack (liteasr/trainer.py:48-62, liteasr/utils/data_loader.py:6-29).
-Per-host sharding uses ``jax.process_index()`` — the JAX-idiomatic equivalent
-of DistributedSampler; a small thread pool overlaps feature I/O + collation
-with device compute.
+EpochDataLoader stack (liteasr/trainer.py:48-62, liteasr/utils/
+data_loader.py:6-29). Per-host sharding deliberately does NOT happen here:
+every host walks the identical shuffled batch order and the collator
+materializes only its row shard (data/dataset.py collate_batch), which keeps
+the global batch geometry in lockstep across processes. A worker pool
+overlaps feature I/O + collation with device compute, preserving order.
 """
 
-import queue
-import threading
+import itertools
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
 import numpy as np
@@ -24,8 +27,6 @@ class EpochDataLoader:
         collate_fn: Optional[Callable] = None,
         shuffle: bool = True,
         seed: int = 0,
-        num_shards: int = 1,
-        shard_index: int = 0,
         prefetch: int = 2,
         num_workers: int = 1,
     ):
@@ -33,47 +34,35 @@ class EpochDataLoader:
         self.collate_fn = collate_fn or dataset.collator
         self.shuffle = shuffle
         self.seed = seed
-        self.num_shards = num_shards
-        self.shard_index = shard_index
         self.prefetch = max(1, prefetch)
         self.num_workers = max(1, num_workers)
         self.epoch = 0
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
-        n = len(self.dataset)
-        order = np.arange(n)
+        order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(order)
-        # per-host shard (rank::world_size over the shuffled order)
-        return order[self.shard_index::self.num_shards]
+        return order
+
+    def _load(self, idx: int):
+        return self.collate_fn(self.dataset[idx])
 
     def epoch_iter(self, epoch: int) -> Iterator:
-        """One pass over this host's shard for a given epoch, prefetched."""
-        indices = self._epoch_indices(epoch)
-        if len(indices) == 0:
-            return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-
-        def producer():
-            try:
-                for idx in indices:
-                    q.put(self.collate_fn(self.dataset[int(idx)]))
-                q.put(stop)
-            except BaseException as e:  # propagate into the consumer
-                q.put(e)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        """One in-order pass for a given epoch; up to ``num_workers``
+        batches collate concurrently, ``prefetch`` extra queue ahead."""
+        indices = iter(self._epoch_indices(epoch))
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = self.num_workers + self.prefetch
+            pending = deque(
+                pool.submit(self._load, int(i))
+                for i in itertools.islice(indices, window))
+            while pending:
+                batch = pending.popleft().result()
+                nxt = next(indices, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self._load, int(nxt)))
+                yield batch
 
     def __iter__(self):
         while True:
@@ -82,4 +71,4 @@ class EpochDataLoader:
             self.epoch += 1
 
     def __len__(self):
-        return len(self._epoch_indices(0))
+        return len(self.dataset)

@@ -280,8 +280,15 @@ def attention_beam_search(
     enc_mask: jnp.ndarray,
     beam_size: int = 10,
     max_decode_len: Optional[int] = None,
+    use_cache: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched attention beam search (reference u2.py:164-219).
+
+    ``use_cache=True`` (default) carries per-layer decoder K/V through the
+    scan and primes the source K/V once, so each step costs O(L) decoder
+    FLOPs instead of the O(L^2) full-prefix recompute — the TPU re-design of
+    the reference's python step cache (transformer_layer.py:40-47). The
+    recompute path is kept for equivalence testing.
 
     Returns (best tokens (B, L), lens (B,)) — tokens exclude sos/eos.
     """
@@ -303,17 +310,18 @@ def attention_beam_search(
     init_scores = jnp.concatenate(
         [jnp.zeros((1,)), jnp.full((K - 1,), -jnp.inf)])
 
-    def step(carry, i):
-        hyps, scores, end_flag = carry
-        flat = hyps.reshape(B * K, L + 1)
-        logits = model.apply(
-            variables, flat, mem, causal, mem_mask,
-            method=model.decode_logits)  # (BK, L+1, V)
-        logp_i = jax.nn.log_softmax(
-            jnp.take_along_axis(
-                logits, (i - 1) * jnp.ones((B * K, 1, 1), jnp.int32),
-                axis=1)[:, 0].astype(jnp.float32), axis=-1)  # (BK, V)
+    if use_cache:
+        src_kv = model.apply(variables, mem, method=model.decode_prime)
+        n_head, d_k = src_kv[0][0].shape[2], src_kv[0][0].shape[3]
+        cache_dtype = src_kv[0][0].dtype
+        self_caches = [
+            {"k": jnp.zeros((B * K, L + 1, n_head, d_k), cache_dtype),
+             "v": jnp.zeros((B * K, L + 1, n_head, d_k), cache_dtype)}
+            for _ in range(len(src_kv))
+        ]
 
+    def merge(hyps, scores, end_flag, logp_i, i):
+        """Shared top-k^2 beam merge; returns new state + source beams."""
         score_topk, index_topk = jax.lax.top_k(logp_i, K)  # (BK, K)
         score_topk = score_topk.reshape(B, K, K)
         index_topk = index_topk.reshape(B, K, K)
@@ -325,7 +333,6 @@ def attention_beam_search(
         comb = (scores[:, :, None] + score_topk).reshape(B, K * K)
         new_scores, idx = jax.lax.top_k(comb, K)  # (B, K)
         src_beam = idx // K
-        src_off = idx % K
 
         new_tok = jnp.take_along_axis(
             index_topk.reshape(B, K * K), idx, axis=1)  # (B, K)
@@ -334,11 +341,50 @@ def attention_beam_search(
         pos = jnp.arange(L + 1)[None, None, :]
         new_hyps = jnp.where(pos == i, new_tok[:, :, None], new_hyps)
         new_end = new_tok == eos
+        return new_hyps, new_scores, new_end, src_beam
 
+    def step_recompute(carry, i):
+        hyps, scores, end_flag = carry
+        flat = hyps.reshape(B * K, L + 1)
+        logits = model.apply(
+            variables, flat, mem, causal, mem_mask,
+            method=model.decode_logits)  # (BK, L+1, V)
+        logp_i = jax.nn.log_softmax(
+            jnp.take_along_axis(
+                logits, (i - 1) * jnp.ones((B * K, 1, 1), jnp.int32),
+                axis=1)[:, 0].astype(jnp.float32), axis=-1)  # (BK, V)
+        new_hyps, new_scores, new_end, _ = merge(
+            hyps, scores, end_flag, logp_i, i)
         return (new_hyps, new_scores, new_end), None
 
-    (hyps, scores, end_flag), _ = jax.lax.scan(
-        step, (hyps, scores, end_flag), jnp.arange(1, L + 1))
+    def step_cached(carry, i):
+        hyps, scores, end_flag, caches = carry
+        tok = jnp.take_along_axis(
+            hyps, jnp.broadcast_to((i - 1)[None, None, None], (B, K, 1)),
+            axis=2)[:, :, 0]  # (B, K): token at position i-1
+        logits, new_caches = model.apply(
+            variables, tok.reshape(B * K), src_kv, caches, i - 1, mem_mask,
+            method=model.decode_step)
+        logp_i = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        new_hyps, new_scores, new_end, src_beam = merge(
+            hyps, scores, end_flag, logp_i, i)
+
+        def regather(c):  # beam-reorder the cache rows along with the hyps
+            c_b = c.reshape(B, K, *c.shape[1:])
+            idx = src_beam.reshape(B, K, *([1] * (c_b.ndim - 2)))
+            c_b = jnp.take_along_axis(c_b, idx, axis=1)
+            return c_b.reshape(B * K, *c.shape[1:])
+
+        new_caches = jax.tree.map(regather, new_caches)
+        return (new_hyps, new_scores, new_end, new_caches), None
+
+    if use_cache:
+        (hyps, scores, end_flag, _), _ = jax.lax.scan(
+            step_cached, (hyps, scores, end_flag, self_caches),
+            jnp.arange(1, L + 1))
+    else:
+        (hyps, scores, end_flag), _ = jax.lax.scan(
+            step_recompute, (hyps, scores, end_flag), jnp.arange(1, L + 1))
 
     best = jnp.argmax(scores, axis=1)
     best_hyp = jnp.take_along_axis(hyps, best[:, None, None], axis=1)[:, 0]

@@ -189,6 +189,17 @@ class U2(LiteasrModel):
             ys_in, h_enc, mask=mask, memory_mask=enc_mask,
             memory_mask_presubsampled=True, train=False)
 
+    def decode_prime(self, h_enc):
+        """Project per-layer source K/V once for cached beam search."""
+        return self.decoder(None, h_enc, mode="prime")
+
+    def decode_step(self, tok, src_kv, self_caches, index, enc_mask=None):
+        """One KV-cached decoder step: tok (B,) at position ``index``."""
+        mem_mask = enc_mask[:, None, None, :] if enc_mask is not None else None
+        return self.decoder(tok, None, memory_mask=mem_mask, mode="step",
+                            src_kv=src_kv, self_caches=self_caches,
+                            index=index)
+
     # ---- criterion hooks (pure functions; liteasr/models/u2.py:319-337) ----
 
     def get_pred_len(self, xlens):

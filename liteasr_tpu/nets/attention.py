@@ -9,6 +9,7 @@ with a large negative before softmax (attention.py:54).
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 MASK_FILL = -1e38
@@ -50,8 +51,16 @@ class MultiHeadAttention(nn.Module):
 
         return flash_available() and not train
 
-    def _flash(self, q, k, v, scale, bias=None, mask=None):
-        """q/k/v: (B, T, H, Dk) -> fused attention -> (B, Tq, H*Dk) + out proj."""
+    def _flash(self, q, k, v, scale, bias=None, mask=None, rel_qv=None,
+               rel_p=None):
+        """q/k/v: (B, T, H, Dk) -> fused attention -> (B, Tq, H*Dk) + out proj.
+
+        A pure padding mask (shape (B, 1, 1, Tk), suffix-contiguous by
+        construction — collate_batch pads at the end) is converted to
+        per-row kv_lens so the kernel masks from an in-register iota instead
+        of a materialized (B*H, Tq, Tk) bool (VERDICT r1 #7). Structured
+        masks (chunked/causal) still take the materialized path.
+        """
         from liteasr_tpu.ops.flash_attention import flash_attention
 
         B, Tq, H, Dk = q.shape
@@ -60,20 +69,77 @@ class MultiHeadAttention(nn.Module):
         def fold(x):
             return x.transpose(0, 2, 1, 3).reshape(B * H, -1, Dk)
 
-        if mask is not None:  # (B, 1|H, 1|Tq, Tk) -> (B*H, Tq, Tk)
+        kv_lens = None
+        if mask is not None and mask.shape[-2] == 1:
+            # (B, 1, 1, Tk) suffix padding -> (B*H,) lengths
+            kv_lens = (~mask[:, 0, 0, :]).sum(axis=-1).astype(jnp.int32)
+            kv_lens = jnp.repeat(kv_lens, H)
+            mask = None
+        elif mask is not None:  # (B, 1|H, 1|Tq, Tk) -> (B*H, Tq, Tk)
             mask = jnp.broadcast_to(mask, (B, H, Tq, Tk)).reshape(
                 B * H, Tq, Tk)
         if bias is not None:
             bias = bias.reshape(B * H, Tq, Tk)
+        if rel_qv is not None:
+            rel_qv = fold(rel_qv)
+            rel_p = fold(rel_p)
         out = flash_attention(fold(q), fold(k), fold(v), bias=bias,
-                              mask=mask, scale=scale)
+                              mask=mask, kv_lens=kv_lens, rel_qv=rel_qv,
+                              rel_p=rel_p, scale=scale)
         out = out.reshape(B, H, Tq, Dk).transpose(0, 2, 1, 3)
         out = out.reshape(B, Tq, H * Dk)
         return nn.Dense(out.shape[-1], dtype=self.dtype, name="linear_o")(out)
 
     @nn.compact
     def __call__(self, query, key, value, mask: Optional[jnp.ndarray] = None,
-                 train: bool = False):
+                 train: bool = False, mode: str = "full", cache=None,
+                 index=None):
+        """``mode`` selects the decode-time cached paths (all param names
+        stay identical to the full path, so one init serves every mode):
+
+        * "full"      — ordinary attention (training / rescoring).
+        * "prime_kv"  — project key/value once; returns (k, v) in
+                        (B, Tk, H, Dk) for reuse across decode steps.
+        * "step_src"  — query is the (B, 1, D) current token; cache is the
+                        primed (k, v) of the memory.
+        * "step_self" — incremental self-attention: cache is {"k","v"} of
+                        shape (B, L, H, Dk); ``index`` is the write
+                        position. Returns (out, new_cache).
+        """
+        if mode == "prime_kv":
+            d_model = key.shape[-1]
+            d_k = d_model // self.n_head
+            k = nn.Dense(d_model, dtype=self.dtype, name="linear_k")(key)
+            v = nn.Dense(d_model, dtype=self.dtype, name="linear_v")(value)
+            shape = (key.shape[0], key.shape[1], self.n_head, d_k)
+            return k.reshape(shape), v.reshape(shape)
+
+        if mode == "step_src":
+            d_model = query.shape[-1]
+            d_k = d_model // self.n_head
+            q = nn.Dense(d_model, dtype=self.dtype, name="linear_q")(query)
+            q = q.reshape(query.shape[0], 1, self.n_head, d_k)
+            k, v = cache
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            return self.apply_attention(
+                scores * (d_k ** -0.5), v, mask, train=False)
+
+        if mode == "step_self":
+            q, k_t, v_t = self.project_qkv(query, query, query)
+            d_k = q.shape[-1]
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], k_t.astype(cache["k"].dtype), (0, index, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v_t.astype(cache["v"].dtype), (0, index, 0, 0))
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            # mask everything past the write position (cache tail is junk)
+            future = (jnp.arange(k.shape[1]) > index)[None, None, None, :]
+            out = self.apply_attention(
+                scores * (d_k ** -0.5), v, future, train=False)
+            return out, {"k": k, "v": v}
+
         q, k, v = self.project_qkv(query, key, value)
         d_k = q.shape[-1]
         if self._use_flash(train):
@@ -122,16 +188,18 @@ class RelativeMultiHeadAttention(MultiHeadAttention):
         q_u = q + pos_bias_u[None, None].astype(q.dtype)
         q_v = q + pos_bias_v[None, None].astype(q.dtype)
 
+        if self._use_flash(train):
+            # the rel-pos bias is computed in-kernel from the compact (T, D)
+            # table (VERDICT r1 #7): pass q_v rows and the per-head p table
+            B = q.shape[0]
+            p_b = jnp.broadcast_to(p, (B,) + p.shape[1:])  # (B, T, H, Dk)
+            return self._flash(q_u, k, v, d_k ** -0.5, mask=mask,
+                               rel_qv=q_v, rel_p=p_b)
+
         # pos_emb is (1, T, D): shared across the batch
         matrix_bd = jnp.einsum(
             "bqhd,khd->bhqk", q_v, p[0], preferred_element_type=jnp.float32)
         matrix_bd = rel_shift(matrix_bd)
-
-        if self._use_flash(train):
-            # content scores fuse into the kernel; the rel-pos term rides in
-            # as an additive bias (already scaled)
-            return self._flash(q_u, k, v, d_k ** -0.5,
-                               bias=matrix_bd * (d_k ** -0.5), mask=mask)
 
         matrix_ac = jnp.einsum(
             "bqhd,bkhd->bhqk", q_u, k, preferred_element_type=jnp.float32)

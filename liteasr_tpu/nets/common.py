@@ -72,6 +72,16 @@ def sinusoidal_pe(length: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     return pe[None].astype(dtype)
 
 
+def sinusoidal_pe_at(pos, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, 1, dim) sinusoidal embedding at one (possibly traced) position —
+    the single-step counterpart of ``sinusoidal_pe`` for cached decoding."""
+    div_term = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * -(math.log(10000.0) / dim))
+    rad = jnp.asarray(pos, jnp.float32) * div_term
+    pe = jnp.stack([jnp.sin(rad), jnp.cos(rad)], axis=-1).reshape(dim)
+    return pe[None, None].astype(dtype)
+
+
 class PositionalEncoding(nn.Module):
     """x * sqrt(d) + PE, then dropout (liteasr/nets/positional_encoding.py:49-56)."""
 

@@ -12,7 +12,13 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from liteasr_tpu.nets.common import LayerNorm, PositionalEncoding
+import math
+
+from liteasr_tpu.nets.common import (
+    LayerNorm,
+    PositionalEncoding,
+    sinusoidal_pe_at,
+)
 from liteasr_tpu.nets.encoder import subsample_mask
 from liteasr_tpu.nets.layers import DecoderLayer
 
@@ -36,14 +42,47 @@ class TransformerDecoder(nn.Module):
     def __call__(self, y, memory, mask: Optional[jnp.ndarray] = None,
                  memory_mask: Optional[jnp.ndarray] = None,
                  memory_mask_presubsampled: bool = False,
-                 train: bool = False):
+                 train: bool = False, mode: str = "full", src_kv=None,
+                 self_caches=None, index=None):
         """:param y: (B, L) token ids
         :param memory: (B, T', D) encoder output
         :param mask: (B, L, L) self-attention mask (True = masked)
         :param memory_mask: (B, T) original-resolution padding mask, subsampled
             here like the reference (transformer_decoder.py:83-88) — or already
             (B, T') if ``memory_mask_presubsampled``.
+
+        Cached decoding (``mode``, re-design of the reference's step cache,
+        liteasr/nets/transformer_decoder.py:58-68 + transformer_layer.py:40-47
+        — scan-carried fixed-shape K/V instead of growing python lists):
+
+        * "prime": project every layer's source K/V from ``memory`` once;
+          returns a list of (k, v) pairs, each (B, T', H, Dk).
+        * "step": one token step. ``y`` is (B,) token ids at position
+          ``index``; ``src_kv`` is the primed list; ``self_caches`` is a
+          per-layer list of {"k","v"} (B, L, H, Dk). ``memory_mask`` must
+          already be (B, 1, 1, T'). Returns (logits (B, V), new caches).
         """
+        if mode == "prime":
+            return [self._layer(i)(None, memory, mode="prime")
+                    for i in range(self.n_layer)]
+
+        if mode == "step":
+            y = nn.Embed(self.vocab_size, self.h_dim, dtype=self.dtype,
+                         name="embed")(y[:, None])  # (B, 1, D)
+            y = y * math.sqrt(self.h_dim) + sinusoidal_pe_at(
+                index, self.h_dim, y.dtype)
+            new_caches = []
+            for i in range(self.n_layer):
+                y, c = self._layer(i)(
+                    y, None, memory_mask=memory_mask, mode="step",
+                    cache={"self": self_caches[i], "src": src_kv[i]},
+                    index=index)
+                new_caches.append(c)
+            y = LayerNorm(dtype=self.dtype, name="after_norm")(y)
+            logits = nn.Dense(self.vocab_size, dtype=self.dtype,
+                              name="linear_out")(y)
+            return logits[:, 0], new_caches
+
         y = nn.Embed(self.vocab_size, self.h_dim, dtype=self.dtype,
                      name="embed")(y)
         y = PositionalEncoding(self.pos_dropout_rate, dtype=self.dtype,
@@ -71,3 +110,16 @@ class TransformerDecoder(nn.Module):
 
         y = LayerNorm(dtype=self.dtype, name="after_norm")(y)
         return nn.Dense(self.vocab_size, dtype=self.dtype, name="linear_out")(y)
+
+    def _layer(self, i: int) -> DecoderLayer:
+        return DecoderLayer(
+            n_head=self.n_head,
+            ff_dim=self.ff_dim,
+            dropout_rate=self.dropout_rate,
+            self_attn_dropout_rate=self.self_attn_dropout_rate,
+            src_attn_dropout_rate=self.src_attn_dropout_rate,
+            ff_dropout_rate=self.ff_dropout_rate,
+            normalize_before=self.normalize_before,
+            dtype=self.dtype,
+            name=f"layer_{i}",
+        )

@@ -182,7 +182,37 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, y, memory, mask=None, memory_mask=None,
-                 train: bool = False):
+                 train: bool = False, mode: str = "full", cache=None,
+                 index=None):
+        """``mode="prime"`` projects the memory K/V once for cached decode;
+        ``mode="step"`` runs one token with a scan-carried self-attn cache
+        (re-design of the reference's per-step list cache,
+        liteasr/nets/transformer_layer.py:40-47). Both assume pre-LN."""
+        if mode == "prime":
+            return MultiHeadAttention(
+                self.n_head, self.src_attn_dropout_rate, dtype=self.dtype,
+                name="src_attn")(None, memory, memory, mode="prime_kv")
+
+        if mode == "step":
+            assert self.normalize_before, "cached decode assumes pre-LN"
+            z = LayerNorm(dtype=self.dtype, name="self_attn_norm")(y)
+            z, new_cache = MultiHeadAttention(
+                self.n_head, self.self_attn_dropout_rate, dtype=self.dtype,
+                name="self_attn")(z, z, z, mode="step_self",
+                                  cache=cache["self"], index=index)
+            y = y + z
+            z = LayerNorm(dtype=self.dtype, name="src_attn_norm")(y)
+            z = MultiHeadAttention(
+                self.n_head, self.src_attn_dropout_rate, dtype=self.dtype,
+                name="src_attn")(z, None, None, mask=memory_mask,
+                                 mode="step_src", cache=cache["src"])
+            y = y + z
+            z = LayerNorm(dtype=self.dtype, name="feed_forward_norm")(y)
+            z = PositionwiseFeedForward(
+                self.ff_dim, self.ff_dropout_rate, dtype=self.dtype,
+                name="feed_forward")(z, False)
+            return y + z, new_cache
+
         drop = nn.Dropout(self.dropout_rate, deterministic=not train)
         pre = self.normalize_before
 

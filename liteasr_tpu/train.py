@@ -49,11 +49,21 @@ def setup_logging(run_dir: str, level: str = "INFO",
 def enable_compile_cache(path: Optional[str] = None) -> None:
     """Persist XLA executables across processes (compiles through the
     remote tunnel cost 1-4 min per shape bucket; a warm cache makes restarts
-    and repeated benchmarks near-instant)."""
+    and repeated benchmarks near-instant).
+
+    TPU backend only: CPU executables are AOT-compiled for the *compiling*
+    machine's microarchitecture, and through the remote-compile tunnel that
+    machine is not this host — a shared cache then feeds foreign-ISA
+    artifacts to local CPU runs (observed: XLA AOT loader feature-mismatch
+    warnings followed by a hang). NOTE: calling this initializes the
+    backend, so it must run AFTER jax.distributed.initialize.
+    """
     import jax
 
-    path = path or os.path.expanduser("~/.cache/liteasr_jax_cache")
     try:
+        if jax.default_backend() != "tpu":
+            return
+        path = path or os.path.expanduser("~/.cache/liteasr_jax_cache")
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -66,8 +76,8 @@ def train(cfg) -> "object":
     from liteasr_tpu.parallel import distributed_init, is_master
     from liteasr_tpu.trainer import Trainer
 
+    distributed_init(cfg.distributed)  # must precede any backend init
     enable_compile_cache(cfg.common.get("compile_cache_dir"))
-    distributed_init(cfg.distributed)
 
     np.random.seed(cfg.common.seed)
     logger.info("set random seed as %d", cfg.common.seed)
@@ -116,6 +126,16 @@ def train(cfg) -> "object":
 
     trainer = Trainer(cfg, task, model, criter, optim)
     trainer.run()
+
+    # multi-process: no rank may exit while peers still depend on the
+    # coordination service (process 0 hosts it; compile-sharing and
+    # collectives on slower ranks deadlock if it dies early)
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("liteasr_train_end")
     return trainer
 
 

@@ -86,8 +86,8 @@ class Trainer:
             ds.shard_index = jax.process_index()
 
         self.train_iter = EpochDataLoader(
-            train_set, shuffle=True, seed=cfg.common.seed,
-            prefetch=max(2, cfg.dataset.get("num_workers", 2)))
+            train_set, shuffle=True, seed=cfg.common.seed, prefetch=2,
+            num_workers=max(1, cfg.dataset.get("num_workers", 2)))
         self.valid_set = valid_set
 
         # ---- on-device fbank front-end (ops/fbank.py) ----

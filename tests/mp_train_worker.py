@@ -19,6 +19,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import faulthandler  # noqa: E402
+
+if os.environ.get("LITEASR_MP_DEBUG"):
+    faulthandler.dump_traceback_later(
+        int(os.environ["LITEASR_MP_DEBUG"]), exit=True)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

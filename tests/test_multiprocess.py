@@ -1,0 +1,110 @@
+"""True multi-process multi-host execution (VERDICT r1 next-round #2).
+
+Launches 2 OS processes (2 virtual CPU devices each) that bootstrap
+jax.distributed through the production train CLI and run lockstep train
+steps over a 4-device dp mesh — exercising distributed_init, the
+``make_array_from_process_local_data`` branch of shard_batch, per-host row
+sharding in collate_batch, and the memory_save cross-host barrier. The
+resulting master checkpoint must match a single-process 4-device run on the
+same corpus (reference capability: liteasr/distributed/utils.py:65-139).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WORKER = str(Path(__file__).parent / "mp_train_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _overrides(corpus, run_dir, extra=()):
+    return [
+        "task=asr", "model=my_U2", "criterion=my_hybrid_ctc",
+        "optimizer=my_noam",
+        f"task.vocab={corpus / 'vocab.txt'}",
+        f"task.train={corpus / 'train'}",
+        f"task.valid={corpus / 'valid'}",
+        f"task.save_dir={run_dir / 'ckpts'}",
+        f"common.run_dir={run_dir}",
+        "common.memory_save=true",
+        "common.prng_impl=threefry2x32",  # reproducible across topologies
+        "model.enc_layers=1", "model.dec_layers=1",
+        "model.enc_dim=16", "model.enc_ff_dim=32",
+        "model.dec_dim=16", "model.dec_ff_dim=32",
+        "model.enc_attn_heads=2", "model.dec_attn_heads=2",
+        "dataset.batch_size=8", "dataset.pad_time_multiple=64", "model.enc_arch=transformer",
+        "dataset.pad_label_multiple=8", "dataset.num_workers=1",
+        "optimization.max_epoch=1", "optimization.accum_grad=2",
+        "optimization.clip_grad_norm=5.0",
+        "postprocess.workflow=[]",
+        "distributed.dp=4",
+        *extra,
+    ]
+
+
+def _run_worker(args, devcount):
+    env = dict(os.environ)
+    env["LITEASR_TEST_DEVCOUNT"] = str(devcount)
+    env.pop("XLA_FLAGS", None)  # worker pins its own device count
+    return subprocess.Popen(
+        [sys.executable, WORKER, *args],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tiny_corpus, tmp_path):
+    from liteasr_tpu.checkpoint import load_params
+
+    port = _free_port()
+
+    # --- 2 processes x 2 devices ---------------------------------------
+    mp_dir = tmp_path / "mp"
+    mp_dir.mkdir()
+    dist = [
+        f"distributed.coordinator_address=127.0.0.1:{port}",
+        "distributed.num_processes=2",
+    ]
+    procs = [
+        _run_worker(
+            _overrides(tiny_corpus, mp_dir,
+                       dist + [f"distributed.process_id={rank}"]),
+            devcount=2)
+        for rank in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+        assert f"MP_WORKER_DONE process={rank} count=2" in out, out[-2000:]
+
+    # memory_save staged loading actually ran (the .dump dir exists)
+    assert (tiny_corpus / "train" / ".dump").is_dir()
+
+    # --- single process x 4 devices, same data, same config ------------
+    sp_dir = tmp_path / "sp"
+    sp_dir.mkdir()
+    p = _run_worker(_overrides(tiny_corpus, sp_dir), devcount=4)
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, out[-4000:]
+
+    mp_params = load_params(str(mp_dir / "ckpts" / "model.ep.1.msgpack"))
+    sp_params = load_params(str(sp_dir / "ckpts" / "model.ep.1.msgpack"))
+    import jax
+
+    mp_leaves = jax.tree.leaves(mp_params)
+    sp_leaves = jax.tree.leaves(sp_params)
+    assert len(mp_leaves) == len(sp_leaves)
+    for a, b in zip(mp_leaves, sp_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

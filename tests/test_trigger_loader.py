@@ -104,14 +104,13 @@ def test_epoch_loader_bumps_epoch_and_shuffles():
     assert first_epoch != second_epoch
 
 
-def test_epoch_loader_sharding_covers_dataset():
-    ds = ListDataset(7)
-    got = []
-    for shard in range(2):
-        loader = EpochDataLoader(ds, shuffle=True, seed=5,
-                                 num_shards=2, shard_index=shard)
-        got.extend(loader.epoch_iter(0))
-    assert sorted(got) == list(range(7))
+def test_epoch_loader_multiworker_preserves_order():
+    ds = ListDataset(9)
+    loader = EpochDataLoader(ds, shuffle=True, seed=5, num_workers=4,
+                             prefetch=2)
+    # concurrent collation must not reorder batches: both passes identical
+    assert list(loader.epoch_iter(0)) == list(loader.epoch_iter(0))
+    assert sorted(loader.epoch_iter(0)) == list(range(9))
 
 
 def test_producer_exception_propagates():
