@@ -106,5 +106,13 @@ def test_two_process_training_matches_single_process(tiny_corpus, tmp_path):
     mp_leaves = jax.tree.leaves(mp_params)
     sp_leaves = jax.tree.leaves(sp_params)
     assert len(mp_leaves) == len(sp_leaves)
+    # the cross-process gradient all-reduce (gloo) and the single-process
+    # psum reduce in different orders; Adam's sqrt(v) normalization then
+    # amplifies that rounding on near-zero gradients, so near-zero leaves
+    # carry O(1e-8) noise while meaningful parameters agree to float
+    # precision. atol=1e-6 sits above the noise and far below any real
+    # parameter difference.
+    assert max(float(np.abs(a).max()) for a in sp_leaves) > 0.05
     for a, b in zip(mp_leaves, sp_leaves):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
