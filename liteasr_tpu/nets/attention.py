@@ -43,13 +43,14 @@ class MultiHeadAttention(nn.Module):
         x = x.reshape(x.shape[0], x.shape[1], -1)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="linear_o")(x)
 
-    def _use_flash(self, train: bool) -> bool:
+    def _use_flash(self, train: bool, kv_len: int = 0) -> bool:
         """Inference-only for now: the kernel has no attention-prob dropout
         and no custom VJP yet, so the differentiated train path stays on the
-        XLA fusion."""
+        XLA fusion. Default policy is length-based (see flash_attention.py):
+        the kernel wins once the score matrix dominates HBM traffic."""
         from liteasr_tpu.ops.flash_attention import flash_available
 
-        return flash_available() and not train
+        return flash_available(kv_len) and not train
 
     def _flash(self, q, k, v, scale, bias=None, mask=None, rel_qv=None,
                rel_p=None):
@@ -142,7 +143,7 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = self.project_qkv(query, key, value)
         d_k = q.shape[-1]
-        if self._use_flash(train):
+        if self._use_flash(train, key.shape[1]):
             return self._flash(q, k, v, d_k ** -0.5, mask=mask)
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -188,7 +189,7 @@ class RelativeMultiHeadAttention(MultiHeadAttention):
         q_u = q + pos_bias_u[None, None].astype(q.dtype)
         q_v = q + pos_bias_v[None, None].astype(q.dtype)
 
-        if self._use_flash(train):
+        if self._use_flash(train, key.shape[1]):
             # the rel-pos bias is computed in-kernel from the compact (T, D)
             # table (VERDICT r1 #7): pass q_v rows and the per-head p table
             B = q.shape[0]

@@ -34,23 +34,36 @@ NEG_INF = -1e30
 DEFAULT_TQ = 128
 DEFAULT_TK = 128
 
-# Opt-in (LITEASR_FLASH=1 or set_flash_enabled). Benchmarked in
-# BENCHMARKS.md; flipped on automatically only where it wins.
+# Policy (BENCHMARKS.md A/B, v5e, masked rel-pos conformer encoder):
+# XLA's attention fusion wins at short sequence length (T'=400: 0.157 vs
+# 0.210 s rescore batch) while the kernel wins once the score matrix
+# dominates HBM traffic (T'=1503: 0.0825 vs 0.1117 s encoder batch).
+# Default is therefore AUTO: flash for key lengths >= FLASH_AUTO_MIN_LEN.
+# LITEASR_FLASH=1 forces on everywhere, =0 forces off; set_flash_enabled
+# overrides both.
 _FORCED: "bool | None" = None
+FLASH_AUTO_MIN_LEN = 1024
 
 
-def set_flash_enabled(enabled: bool) -> None:
+def set_flash_enabled(enabled: "bool | None") -> None:
     global _FORCED
     _FORCED = enabled
 
 
-def flash_available() -> bool:
-    """Pallas TPU kernels need a real TPU backend (CPU would need interpret)."""
+def flash_wanted(kv_len: int) -> bool:
     if _FORCED is not None:
-        enabled = _FORCED
-    else:
-        enabled = os.environ.get("LITEASR_FLASH", "0") == "1"
-    if not enabled:
+        return _FORCED
+    env = os.environ.get("LITEASR_FLASH")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    return kv_len >= FLASH_AUTO_MIN_LEN
+
+
+def flash_available(kv_len: int = 10 ** 9) -> bool:
+    """Pallas TPU kernels need a real TPU backend (CPU would need interpret)."""
+    if not flash_wanted(kv_len):
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -58,9 +71,32 @@ def flash_available() -> bool:
         return False
 
 
+def _row_roll_left(x, shifts, *, interpret: bool):
+    """Roll each row r of (R, W) left by shifts[r] (mod W).
+
+    Mosaic's lane gather cannot span multiple vregs (W > 128), so the
+    row-dependent shift is realized as a barrel shifter: log2(W) fixed
+    power-of-two rolls, each applied only to the rows whose shift has that
+    bit set (a per-row select).
+    """
+    W = x.shape[1]
+    if interpret:  # interpret mode: plain gather is available and exact
+        idx = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+               + shifts[:, None]) % W
+        return jnp.take_along_axis(x, idx, axis=1)
+    n, b = 1, 0
+    while n < W:
+        bit = ((shifts >> b) & 1) == 1  # (R,)
+        rolled = pltpu.roll(x, W - n, 1)  # right by W-n == left by n
+        x = jnp.where(bit[:, None], rolled, x)
+        n <<= 1
+        b += 1
+    return x
+
+
 def _attn_kernel(refs, o_ref, *, scale: float, num_k_tiles: int, tk: int,
                  tq: int, t_real: int, has_bias: bool, has_mask: bool,
-                 has_kvlen: bool, has_rel: bool):
+                 has_kvlen: bool, has_rel: bool, interpret: bool):
     q_ref, k_ref, v_ref = refs[:3]
     rest = list(refs[3:])
     bias_ref = rest.pop(0) if has_bias else None
@@ -73,6 +109,9 @@ def _attn_kernel(refs, o_ref, *, scale: float, num_k_tiles: int, tk: int,
     d = q.shape[1]
 
     qs = pl.program_id(1) * tq  # global start of this query tile
+    # read the scalar outside the fori_loop: pl.program_id does not lower
+    # inside lax control flow in interpret mode
+    kv_len = kvlen_ref[pl.program_id(0), 0] if has_kvlen else None
 
     if has_rel:
         # R[r, c] = (q_v row qs+r) . p[c]; one extra row covers the legacy
@@ -82,7 +121,21 @@ def _attn_kernel(refs, o_ref, *, scale: float, num_k_tiles: int, tk: int,
         R = jax.lax.dot_general(
             qv, p, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (TQ+1, Tp)
-        t_glob = qs + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        # full-width bias once per q-tile; the k-loop rolls its tile out.
+        # Reference rel_shift alignment (attention.py:99-118): for j <= t
+        # the bias is R[t, T-1-t+j]; for j > t the pad-reshape trick reads
+        # R[t+1, j-t-2] (zero exactly at j == t+1). Both are row-dependent
+        # shifts of R, realized as barrel-shifter rolls.
+        W = R.shape[1]
+        t_rows = qs + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)[:, 0]
+        b_le = _row_roll_left(
+            R[:-1, :], (t_real - 1 - t_rows) % W, interpret=interpret)
+        b_gt = _row_roll_left(
+            R[1:, :], (W - ((t_rows + 2) % W)) % W, interpret=interpret)
+        t_g = t_rows[:, None]
+        j_g = jax.lax.broadcasted_iota(jnp.int32, (tq, W), 1)
+        bd_full = jnp.where(j_g <= t_g, b_le,
+                            jnp.where(j_g == t_g + 1, 0.0, b_gt))
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -95,16 +148,10 @@ def _attn_kernel(refs, o_ref, *, scale: float, num_k_tiles: int, tk: int,
         j_glob = i * tk + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
 
         if has_rel:
-            # reference rel_shift alignment (attention.py:99-118): for
-            # j <= t the bias is R[t, T-1-t+j]; for j > t the pad-reshape
-            # trick reads R[t+1, j-t-2] (zero exactly at j == t+1)
-            le = j_glob <= t_glob
-            idx_le = jnp.clip(t_real - 1 - t_glob + j_glob, 0, R.shape[1] - 1)
-            idx_gt = jnp.clip(j_glob - t_glob - 2, 0, R.shape[1] - 1)
-            b_le = jnp.take_along_axis(R[:-1, :], idx_le, axis=1)
-            b_gt = jnp.take_along_axis(R[1:, :], idx_gt, axis=1)
-            bd = jnp.where(le, b_le,
-                           jnp.where(j_glob == t_glob + 1, 0.0, b_gt))
+            # rotate the tile's columns to the front (Mosaic has no dynamic
+            # VMEM-value slice, but supports dynamic rolls), then slice
+            W = bd_full.shape[1]
+            bd = pltpu.roll(bd_full, jnp.mod(W - i * tk, W), 1)[:, :tk]
             s = s + bd
         s = s * scale
 
@@ -113,7 +160,7 @@ def _attn_kernel(refs, o_ref, *, scale: float, num_k_tiles: int, tk: int,
         if has_mask:
             s = jnp.where(mask_ref[0, :, pl.ds(i * tk, tk)], NEG_INF, s)
         if has_kvlen:
-            s = jnp.where(j_glob >= kvlen_ref[0], NEG_INF, s)
+            s = jnp.where(j_glob >= kv_len, NEG_INF, s)
 
         m_cur = jnp.max(s, axis=1, keepdims=True)  # (TQ, 1)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -193,7 +240,9 @@ def flash_attention(
     if bias is not None:
         bias = _pad_to(_pad_to(bias, tq_pad, 1), tk_pad, 2)
     if kv_lens is not None:
-        kv_lens = kv_lens.astype(jnp.int32)
+        # rank-2 (BH, 1) so the (1, 1) SMEM block satisfies Mosaic's rank-1
+        # block constraints
+        kv_lens = kv_lens.astype(jnp.int32).reshape(bh, 1)
 
     has_rel = rel_qv is not None
     if has_rel:
@@ -224,9 +273,9 @@ def flash_attention(
                          memory_space=pltpu.VMEM))
         args.append(mask)
     if kv_lens is not None:
-        in_specs.append(
-            pl.BlockSpec((1,), lambda b, i: (b,),
-                         memory_space=pltpu.SMEM))
+        # whole array in SMEM, indexed by program_id in-kernel (Mosaic
+        # rejects sub-(8,128) SMEM blocks)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(kv_lens)
     if has_rel:
         in_specs.append(  # full q_v rows (tile + 1 read via pl.ds)
@@ -242,7 +291,7 @@ def flash_attention(
         _attn_kernel, scale=scale, num_k_tiles=num_k_tiles, tk=tk_eff,
         tq=tq_eff, t_real=t_k, has_bias=bias is not None,
         has_mask=mask is not None, has_kvlen=kv_lens is not None,
-        has_rel=has_rel)
+        has_rel=has_rel, interpret=interpret)
 
     def wrapped(*refs):
         kernel(refs[:-1], refs[-1])
