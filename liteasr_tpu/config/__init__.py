@@ -78,6 +78,13 @@ class DatasetConfig(LiteasrDataclass):
     pad_time_multiple: int = 128
     pad_label_multiple: int = 16
     num_workers: int = 2  # host-side prefetch threads
+    # raw-wave pretraining: quantize the per-batch crop length DOWN to a
+    # multiple of this many samples, and pad the row count up to a multiple
+    # of pad_batch_multiple (weight-0 dummy rows) — otherwise nearly every
+    # wav2vec2 batch has a unique (rows, crop) shape and triggers its own
+    # multi-minute remote compile
+    crop_multiple: int = 8000
+    pad_batch_multiple: int = 4
     # on-the-fly device features from wav.scp waveforms (ops/fbank.py);
     # when enabled, length knobs (max_len_in etc.) are in SAMPLES
     fbank: bool = False

@@ -19,12 +19,19 @@ from liteasr_tpu.criterions import LiteasrLoss, register_criterion
 class Wav2Vec2LossConfig(LiteasrDataclass):
     name: Optional[str] = field(default="wav2vec")
     infonce: bool = False
+    # codebook diversity penalty (fairseq's prob_perplexity loss). The
+    # reference criterion is plain CE (wav2vec_loss.py:15-37) with no
+    # diversity term, so 0.0 keeps parity — but without it the Gumbel-VQ
+    # codebook can collapse to one code per group, making every negative
+    # equal the positive (all masked to -inf) and the task degenerate.
+    diversity_weight: float = 0.0
 
 
 @register_criterion("wav2vec", dataclass=Wav2Vec2LossConfig)
 class Wav2Vec2Loss(LiteasrLoss):
     def __init__(self, cfg, task=None):
         super().__init__(cfg)
+        self.diversity_weight = float(cfg.get("diversity_weight", 0.0))
 
     @classmethod
     def build_criterion(cls, cfg, task=None):
@@ -55,12 +62,13 @@ class Wav2Vec2Loss(LiteasrLoss):
             temp = batch.get("gumbel_temp", lt[0])
 
         if train:
-            (logits, mask), new_model_state = model.apply(
+            (logits, mask, code_probs), new_model_state = model.apply(
                 variables, xs, xlens=xlens, train=True, temp=temp, rngs=rngs,
                 mutable=["batch_stats"])
         else:
-            logits, mask = model.apply(variables, xs, xlens=xlens,
-                                       train=False, temp=temp, rngs=rngs)
+            logits, mask, code_probs = model.apply(
+                variables, xs, xlens=xlens, train=False, temp=temp,
+                rngs=rngs)
             new_model_state = {}
 
         # logits: (N+1, B, F); positive at index 0. `mask` is already
@@ -72,7 +80,19 @@ class Wav2Vec2Loss(LiteasrLoss):
         denom = jnp.maximum(weight.sum(), 1.0)
         loss = (nll * weight).sum() / denom
 
+        # codebook usage: per-group perplexity of the (mask-weighted)
+        # average code distribution. The diversity penalty pushes toward
+        # uniform usage, exactly fairseq's (GV - sum ppl) / GV.
+        code_probs = code_probs.astype(jnp.float32)  # (G, V)
+        ppl = jnp.exp(-jnp.sum(
+            code_probs * jnp.log(code_probs + 1e-9), axis=-1))  # (G,)
+        n_codes = code_probs.shape[0] * code_probs.shape[1]
+        if self.diversity_weight:
+            loss = loss + self.diversity_weight * (
+                n_codes - ppl.sum()) / n_codes
+
         # accuracy over masked frames (observability)
         correct = (jnp.argmax(logits, axis=0) == 0).astype(jnp.float32)
         acc = (correct * weight).sum() / denom
-        return loss, {"accuracy": acc, "model_state": new_model_state}
+        return loss, {"accuracy": acc, "code_ppl": ppl.sum(),
+                      "model_state": new_model_state}

@@ -275,19 +275,30 @@ class RawAudioFileDataset:
         # assembled global batch would duplicate each sample (the reference's
         # DistributedSampler semantics, liteasr/trainer.py:48-53).
         crop = min(min(s.xlen for s in samples), self.crop_frames)
+        # bucket the shapes XLA sees: crop quantized down, rows padded up
+        # (weight-0 dummy rows) — otherwise every batch compiles separately
+        cm = int(self.dataset_cfg.get("crop_multiple", 8000)) \
+            if self.dataset_cfg else 8000
+        bm = int(self.dataset_cfg.get("pad_batch_multiple", 4)) \
+            if self.dataset_cfg else 4
+        if cm > 1:
+            crop = max((crop // cm) * cm, min(cm, crop))
         B = len(samples)
-        Bp = round_up(B, self.batch_multiple * self.num_shards)
+        Bp = round_up(B, max(bm, 1) * self.batch_multiple * self.num_shards)
         rows = Bp // self.num_shards
         lo = self.shard_index * rows
 
         out = np.zeros((rows, crop), dtype=np.float32)
-        xlens = np.full(rows, crop, dtype=np.int32)
+        # dummy rows get xlens 0 so the span mask (and the code-usage
+        # statistics it weights) stays off them, not just the loss
+        xlens = np.zeros(rows, dtype=np.int32)
         valid = np.zeros(rows, dtype=np.float32)
         for i in range(rows):
             j = lo + i
             if j >= B:
-                continue  # padded dummy row: valid stays 0
+                continue  # padded dummy row: valid/xlens stay 0
             out[i] = samples[j].x[:crop]
+            xlens[i] = crop
             valid[i] = 1.0
         return {"xs": out, "xlens": xlens, "valid": valid}
 

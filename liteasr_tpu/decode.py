@@ -454,6 +454,25 @@ def _get_pipeline(model, mode: str, beam_size: int, ctc_weight: float):
     return fn
 
 
+def paraformer_decode(model, variables, xs, xlens):
+    """Non-autoregressive CIF + argmax decode (paraformer.py:157-168),
+    jitted end-to-end and cached per padded length — the eager
+    ``model.apply`` path dispatches op-by-op through the remote tunnel."""
+    u_max = max(((xs.shape[1] - 1) // 2 - 1) // 2, 1)  # == get_pred_len(T)
+    key = (model, "paraformer_cif", u_max)
+    fn = _PIPELINE_CACHE.get(key)
+    if fn is None:
+        def pipeline(variables, xs, xlens):
+            return model.apply(variables, xs, xlens, u_max=u_max,
+                               method=model.decode)
+
+        fn = jax.jit(pipeline)
+        _PIPELINE_CACHE[key] = fn
+    hyp, ulens = fn(variables, xs, xlens)
+    hyp, ulens = np.asarray(hyp), np.asarray(ulens)
+    return [hyp[i, : ulens[i]].tolist() for i in range(hyp.shape[0])]
+
+
 def decode_batch(model, variables, xs, xlens, beam_size: int = 10,
                  ctc_weight: float = 0.5, mode: str = "attention_rescore"):
     """Decode a padded batch of utterances. Returns list of token-id lists."""

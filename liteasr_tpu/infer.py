@@ -83,12 +83,7 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
                 hyps = decode.transducer_beam_search(
                     model, variables, xs, xlens, beam_size=beam_size)
         elif hasattr(model, "decode"):  # paraformer: CIF + argmax
-            t_sub = int(model.get_pred_len(jnp.array([xs.shape[1]]))[0])
-            hyp, ulens = model.apply(
-                variables, xs, xlens, u_max=max(t_sub, 1),
-                method=model.decode)
-            hyp, ulens = np.asarray(hyp), np.asarray(ulens)
-            hyps = [hyp[i, : ulens[i]].tolist() for i in range(len(chunk))]
+            hyps = decode.paraformer_decode(model, variables, xs, xlens)
         else:
             hyps = decode.decode_batch(
                 model, variables, xs, xlens,

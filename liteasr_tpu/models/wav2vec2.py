@@ -172,8 +172,10 @@ class Wav2Vec2(LiteasrModel):
                  temp: float = 2.0):
         """source: (B, T) waveform; xlens: optional (B,) valid sample counts.
 
-        Returns (logits (N+1, B, F), mask (B, F)). ``mask`` is True only on
-        masked *valid* frames, so downstream losses can weight by it directly.
+        Returns (logits (N+1, B, F), mask (B, F), code_probs (G, V)).
+        ``mask`` is True only on masked *valid* frames, so downstream losses
+        can weight by it directly; ``code_probs`` is the mask-weighted
+        codebook usage for the diversity loss / perplexity metric.
         """
         # 1. feature extraction
         features = self.feature_extractor(source, train=train)  # (B, F, C)
@@ -206,8 +208,13 @@ class Wav2Vec2(LiteasrModel):
         x = self.linear_final(x)  # (B, F, final)
 
         # 4. quantized targets (every frame; the reference gathers masked
-        # frames first — here shapes stay static and the loss weights by mask)
-        y, _ = self.quantizer(unmasked_features, temp=temp, train=train)
+        # frames first — here shapes stay static and the loss weights by
+        # mask). Code-usage stats are weighted by the masked valid frames —
+        # the positions the contrastive loss actually reads — so the
+        # diversity penalty / perplexity metric mirror fairseq's
+        # prob_perplexity semantics.
+        y, code_probs = self.quantizer(
+            unmasked_features, temp=temp, train=train, frame_weight=mask)
         y = self.linear_quantizer(y)  # (B, F, final)
 
         # 5. negatives: num_negatives distractor frames per target position,
@@ -254,7 +261,7 @@ class Wav2Vec2(LiteasrModel):
         negs = jnp.moveaxis(negs, 2, 0)  # (N, B, F, final)
 
         logits = self.compute_logits(x, y, negs)
-        return logits, mask
+        return logits, mask, code_probs
 
     def compute_logits(self, x, pos, negs):
         """Cosine-similarity logits / temp (reference wav2vec2.py:366-380)."""

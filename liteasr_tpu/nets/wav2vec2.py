@@ -67,7 +67,11 @@ class GumbelVectorQuantizer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temp: float = 2.0, train: bool = False):
+    def __call__(self, x, temp: float = 2.0, train: bool = False,
+                 frame_weight=None):
+        """``frame_weight`` (B, T) optionally weights the code-usage
+        statistics (``avg_probs``) so padding/unmasked frames don't dilute
+        the perplexity the diversity loss sees."""
         B, T, D = x.shape
         assert self.vq_dim % self.groups == 0
         var_dim = self.vq_dim // self.groups
@@ -86,8 +90,13 @@ class GumbelVectorQuantizer(nn.Module):
         hard_idx = jnp.argmax(logits, axis=-1)
         hard_x = jax.nn.one_hot(hard_idx, self.num_vars, dtype=jnp.float32)
 
-        avg_probs = jax.nn.softmax(
-            logits.reshape(B * T, self.groups, -1), axis=-1).mean(axis=0)
+        probs = jax.nn.softmax(
+            logits.reshape(B * T, self.groups, -1), axis=-1)
+        if frame_weight is None:
+            avg_probs = probs.mean(axis=0)
+        else:
+            w = frame_weight.astype(jnp.float32).reshape(B * T, 1, 1)
+            avg_probs = (probs * w).sum(axis=0) / jnp.maximum(w.sum(), 1.0)
 
         if train:
             g_rng = self.make_rng("gumbel")

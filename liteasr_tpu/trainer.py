@@ -195,9 +195,14 @@ class Trainer:
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            loss, _ = self.criterion(
+            loss, aux = self.criterion(
                 self.model, variables, batch, rngs=None, train=False)
-            return loss
+            # surface any scalar observability metrics the criterion emits
+            # (e.g. wav2vec2 contrastive accuracy) next to the valid loss
+            extras = {k: v for k, v in aux.items()
+                      if k != "model_state"
+                      and hasattr(v, "ndim") and v.ndim == 0}
+            return loss, extras
 
         self._train_step = jax.jit(
             train_step,
@@ -352,19 +357,29 @@ class Trainer:
             throughput)
 
     def valid(self):
-        losses = []
+        losses, extras = [], []
         n = len(self.valid_set)
         order = range(n)
         for idx in order:
             batch = self.valid_set.collator(self.valid_set[idx])
             device_batch = shard_batch(self.mesh, batch)
-            losses.append(self._eval_step(self.state, device_batch))
+            loss, ext = self._eval_step(self.state, device_batch)
+            losses.append(loss)
+            extras.append(ext)
         reduced = float(np.mean(jax.device_get(losses))) if losses else float("nan")
+        suffix = ""
+        if extras and extras[0]:
+            host = jax.device_get(extras)
+            means = {k: float(np.mean([e[k] for e in host]))
+                     for k in host[0]}
+            suffix = "".join(f" | {k}: {v:.4f}"
+                             for k, v in sorted(means.items()))
         # keep the exact "valid loss:" phrasing — checkpoint averaging parses
         # it from train.log (liteasr/utils/checkpoint.py:55-67)
         logger.info(
-            "%s / %s iters, %s / %s epochs - valid loss: %.2f",
-            self.iter, self.max_iter, self.epoch, self.max_epoch, reduced)
+            "%s / %s iters, %s / %s epochs - valid loss: %.2f%s",
+            self.iter, self.max_iter, self.epoch, self.max_epoch, reduced,
+            suffix)
 
     def save_model(self):
         if is_master():

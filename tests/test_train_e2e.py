@@ -48,6 +48,12 @@ def test_train_two_epochs(tiny_corpus, tmp_path):
     # this exact phrasing)
     log = (tmp_path / "train.log").read_text()
     assert "valid loss:" in log
+    # scalar aux metrics the criterion emits ride along after the loss
+    # (hybrid_ctc reports ctc_infeasible); the parser must still match
+    assert "| ctc_infeasible:" in log
+    from liteasr_tpu.checkpoint import parse_valid_losses
+
+    assert len(parse_valid_losses(str(tmp_path / "train.log"))) == 2
     # resolved config persisted for liteasr-infer --config-dir
     assert (tmp_path / "config.yaml").exists()
 

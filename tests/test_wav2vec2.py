@@ -37,7 +37,7 @@ def tiny_w2v():
 
 def test_w2v_forward_shapes(tiny_w2v):
     model, variables, _, batch = tiny_w2v
-    logits, mask = model.apply(
+    logits, mask, code_probs = model.apply(
         variables, batch["xs"], train=False)
     N1, B, F = logits.shape
     assert N1 == 5  # num_negatives + 1
@@ -75,14 +75,35 @@ def test_negatives_from_everywhere_changes_sampling(tiny_w2v):
     ])
     model_ev = models.build_model(cfg.model, None)
     rngs = {"mask": jax.random.PRNGKey(3), "negatives": jax.random.PRNGKey(4)}
-    logits_a, mask_a = model.apply(
+    logits_a, mask_a, _ = model.apply(
         variables, batch["xs"], train=False, rngs=rngs)
-    logits_b, mask_b = model_ev.apply(
+    logits_b, mask_b, _ = model_ev.apply(
         variables, batch["xs"], train=False, rngs=rngs)
     # same masks (flag only affects negatives) but different negative rows
     assert np.array_equal(np.asarray(mask_a), np.asarray(mask_b))
     assert np.array_equal(np.asarray(logits_a[0]), np.asarray(logits_b[0]))
     assert not np.allclose(np.asarray(logits_a[1:]), np.asarray(logits_b[1:]))
+
+
+def test_diversity_loss_penalizes_collapse(tiny_w2v):
+    """criterion.diversity_weight adds fairseq's (GV - ppl)/GV codebook
+    penalty on top of the reference's plain CE (0.0 = reference parity)."""
+    model, variables, crit, batch = tiny_w2v
+    cfg = compose([
+        "task=pretrain", "model=wav2vec2", "criterion=wav2vec",
+        "optimizer=my_adam", "task.train=/x", "task.valid=/x",
+        *SMALL, "criterion.diversity_weight=1.0",
+    ])
+    crit_div = criterions.build_criterion(cfg.criterion, None)
+    rngs = {"mask": jax.random.PRNGKey(5), "negatives": jax.random.PRNGKey(6)}
+    loss0, aux0 = crit(model, variables, batch, rngs=rngs, train=False)
+    loss1, aux1 = crit_div(model, variables, batch, rngs=rngs, train=False)
+    n_codes = 2 * 8  # latent_groups * latent_vars in SMALL
+    ppl = float(aux0["code_ppl"])
+    assert 1.0 < ppl <= n_codes
+    np.testing.assert_allclose(float(aux1["code_ppl"]), ppl, rtol=1e-5)
+    expected = float(loss0) + (n_codes - ppl) / n_codes
+    np.testing.assert_allclose(float(loss1), expected, rtol=1e-5)
 
 
 def test_padded_batch_invariance(tiny_w2v):
@@ -135,6 +156,28 @@ def wav_corpus(tmp_path_factory):
             lines.append(f"{split}u{i} {p}")
         (d / "wav.scp").write_text("\n".join(lines) + "\n")
     return root
+
+
+def test_collator_shape_bucketing(wav_corpus):
+    """The raw-wave collator must quantize (rows, crop) so XLA sees a
+    bounded set of shapes: crop rounds DOWN to crop_multiple, rows round UP
+    to pad_batch_multiple with weight-0 dummy rows."""
+    from liteasr_tpu.data.dataset import RawAudioFileDataset
+
+    cfg = compose([
+        "task=pretrain", "model=wav2vec2", "criterion=wav2vec",
+        "optimizer=my_adam",
+        "dataset.crop_multiple=512", "dataset.pad_batch_multiple=4",
+    ])
+    ds = RawAudioFileDataset(str(wav_corpus / "train"), cfg.dataset)
+    batch = ds.collator(ds[0])
+    rows, crop = batch["xs"].shape
+    assert rows % 4 == 0
+    assert crop % 512 == 0
+    assert crop <= min(s.xlen for s in ds[0])
+    # dummy rows carry zero weight
+    n_real = len(ds[0])
+    assert batch["valid"][:n_real].all() and not batch["valid"][n_real:].any()
 
 
 def test_pretrain_e2e(wav_corpus, tmp_path):

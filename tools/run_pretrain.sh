@@ -1,0 +1,22 @@
+#!/bin/bash
+# wav2vec 2.0 pretraining convergence run on the synthetic raw-wave corpus
+# (tools/make_synth_waves.py). Full base operating point (reference
+# liteasr/models/wav2vec2.py defaults): 12L/768d/3072FF/12H context net,
+# conv extractor /320, Gumbel-VQ 2x320 codebook, 100 negatives, bf16.
+# Evidence target: valid contrastive accuracy >> 1/101 chance.
+set -e
+cd "$(dirname "$0")/.."
+REPO="$PWD"
+RUN="${1:-$REPO/exp/pretrain_run}"
+CORPUS="$REPO/exp/synth_waves"
+EPOCHS="${2:-60}"
+mkdir -p "$RUN"
+
+PYTHONPATH="$REPO:/root/.axon_site" exec python -m liteasr_tpu.train \
+  task=pretrain model=wav2vec2 criterion=wav2vec optimizer=my_adam \
+  optimizer.lr=2e-4 criterion.diversity_weight=0.1 \
+  task.train="$CORPUS/train" task.valid="$CORPUS/valid" \
+  task.save_dir="$RUN/ckpts" common.run_dir="$RUN" \
+  model.dtype=bfloat16 \
+  optimization.max_epoch="$EPOCHS" optimization.accum_grad=1 \
+  optimization.clip_grad_norm=5.0
