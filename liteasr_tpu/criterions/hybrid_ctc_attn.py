@@ -16,7 +16,7 @@ import jax.nn
 
 from liteasr_tpu.config import MISSING, LiteasrDataclass
 from liteasr_tpu.criterions import LiteasrLoss, register_criterion
-from liteasr_tpu.ops.ctc import ctc_loss
+from liteasr_tpu.ops.ctc import ctc_loss_logits
 
 
 @dataclass
@@ -31,13 +31,23 @@ class HybridCTCLossConfig(LiteasrDataclass):
 
 def label_smoothed_kl(h_attn, tgt_attn, vocab_size: int, smoothing: float,
                       padding_idx: int = -1):
-    """Sum over non-ignored positions of KL(true_dist || softmax(h))."""
+    """Sum over non-ignored positions of KL(true_dist || softmax(h)).
+
+    Works on raw logits: with logp_v = h_v - lse(h), the two reductions the
+    KL needs are sum_v logp_v = sum_v h_v - V*lse and logp_tgt = h_tgt - lse,
+    so the (N, V) fp32 log-softmax table is never materialized — only fused
+    reductions over the (bf16) logits.
+    """
     tgt_flat = tgt_attn.reshape(-1)
     ignore = tgt_flat == padding_idx
     tgt_safe = jnp.where(ignore, 0, tgt_flat)
 
-    logp = jax.nn.log_softmax(
-        h_attn.reshape(-1, vocab_size).astype(jnp.float32), axis=-1)
+    h = h_attn.reshape(-1, vocab_size)
+    hf = h.astype(jnp.float32)
+    lse = jax.nn.logsumexp(hf, axis=-1)  # (N,)
+    sum_logp = hf.sum(axis=-1) - vocab_size * lse
+    logp_tgt = jnp.take_along_axis(
+        h, tgt_safe[:, None], axis=1)[:, 0].astype(jnp.float32) - lse
 
     off = smoothing / (vocab_size - 1)
     on = 1.0 - smoothing
@@ -51,8 +61,7 @@ def label_smoothed_kl(h_attn, tgt_attn, vocab_size: int, smoothing: float,
         return p * math.log(p) if p > 0 else 0.0
 
     ent = xlogx(off) * (vocab_size - 1) + xlogx(on)
-    cross = off * logp.sum(axis=-1) \
-        + (on - off) * jnp.take_along_axis(logp, tgt_safe[:, None], axis=1)[:, 0]
+    cross = off * sum_logp + (on - off) * logp_tgt
     kl = ent - cross
     return jnp.where(ignore, 0.0, kl).sum()
 
@@ -97,10 +106,10 @@ class HybridCTCLoss(LiteasrLoss):
             h_attn, tgt_attn, self.vocab_size, self.smoothing,
             self.padding_idx) / nutt
 
-        logp_ctc = jax.nn.log_softmax(h_ctc.astype(jnp.float32), axis=-1)
         tgt_ctc_ids = jnp.where(ys == self.padding_idx, 0, ys)
         pred_len = model.get_pred_len(xlens)
-        per_utt = ctc_loss(logp_ctc, tgt_ctc_ids, pred_len, ylens)
+        # logits-domain CTC: never materializes the (B, T, V) log-softmax
+        per_utt = ctc_loss_logits(h_ctc, tgt_ctc_ids, pred_len, ylens)
         # CTC needs pred_len >= ylen + repeated-label count; an infeasible
         # row has no lattice path and its "loss" is the DP's -NEG_INF filler
         # (~1e30, finite, so apply_if_finite would NOT skip it). Zero such

@@ -53,12 +53,16 @@ class ParaformerLoss(LiteasrLoss):
         tgt = model.get_target(ys, ylens)  # (B, U) with -1 ignored
         tgt = jnp.where(valid[:, None] > 0, tgt, -1)
 
-        logp = jax.nn.log_softmax(
-            hs_attn.reshape(-1, self.vocab_size).astype(jnp.float32), axis=-1)
+        # CE from raw logits: nll = lse(h) - h_tgt; the (N, V) fp32
+        # log-softmax table is never materialized (fused reductions only)
+        h = hs_attn.reshape(-1, self.vocab_size)
+        lse = jax.nn.logsumexp(h.astype(jnp.float32), axis=-1)
         tgt_flat = tgt.reshape(-1)
         ignore = tgt_flat == -1
-        nll = -jnp.take_along_axis(
-            logp, jnp.where(ignore, 0, tgt_flat)[:, None], axis=1)[:, 0]
+        h_tgt = jnp.take_along_axis(
+            h, jnp.where(ignore, 0, tgt_flat)[:, None], axis=1
+        )[:, 0].astype(jnp.float32)
+        nll = lse - h_tgt
         n_tok = jnp.maximum((~ignore).sum(), 1)
         loss_ce = jnp.where(ignore, 0.0, nll).sum() / n_tok
 

@@ -27,6 +27,22 @@ def _logaddexp3(a, b, c):
     return jnp.where(valid, out, NEG_INF)
 
 
+def _extended_labels(targets: jnp.ndarray, blank: int):
+    """(ext, can_skip): the blank-interleaved label row and the s-2 -> s
+    diagonal-skip permission (standard CTC topology)."""
+    B, U = targets.shape
+    S = 2 * U + 1
+    s_idx = jnp.arange(S)
+    is_label = (s_idx % 2) == 1
+    tgt_idx = jnp.clip((s_idx - 1) // 2, 0, U - 1)
+    ext = jnp.where(is_label[None, :], jnp.take_along_axis(
+        targets, jnp.broadcast_to(tgt_idx[None, :], (B, S)), axis=1), blank)
+    ext_prev2 = jnp.concatenate(
+        [jnp.full((B, 2), blank, dtype=ext.dtype), ext[:, :-2]], axis=1)
+    can_skip = is_label[None, :] & (ext != ext_prev2)
+    return ext, can_skip
+
+
 def ctc_loss(
     log_probs: jnp.ndarray,
     targets: jnp.ndarray,
@@ -41,29 +57,41 @@ def ctc_loss(
     :param input_lengths: (B,) valid frames
     :param label_lengths: (B,) valid labels
     """
-    B, T, V = log_probs.shape
-    U = targets.shape[1]
-    S = 2 * U + 1
-
-    # extended label sequence: blank, y1, blank, y2, ..., blank
-    s_idx = jnp.arange(S)
-    is_label = (s_idx % 2) == 1
-    tgt_idx = jnp.clip((s_idx - 1) // 2, 0, U - 1)
-    ext = jnp.where(is_label[None, :], jnp.take_along_axis(
-        targets, jnp.broadcast_to(tgt_idx[None, :], (B, S)), axis=1), blank)
-
-    # allow the diagonal skip s-2 -> s only for labels that differ from the
-    # label two slots back (standard CTC topology)
-    ext_prev2 = jnp.concatenate(
-        [jnp.full((B, 2), blank, dtype=ext.dtype), ext[:, :-2]], axis=1)
-    can_skip = is_label[None, :] & (ext != ext_prev2)
-
+    ext, can_skip = _extended_labels(targets, blank)
     # gather ALL emission scores up front: one (B, T, S) gather instead of a
     # (B, V) table read per scan step — the scan then streams (B, S) slices
     # (V=5000 -> S~100 cuts the scan's HBM traffic ~50x)
     emits = jnp.take_along_axis(
         log_probs, ext[:, None, :].astype(jnp.int32), axis=2)  # (B, T, S)
+    return _ctc_scan(emits, can_skip, input_lengths, label_lengths)
 
+
+def ctc_loss_logits(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank: int = 0,
+) -> jnp.ndarray:
+    """``ctc_loss`` taken directly on pre-softmax logits.
+
+    log p[v] = h[v] - logsumexp(h), so the lattice only ever needs the S
+    gathered logits and the (B, T) normalizer — the full (B, T, V) fp32
+    log-softmax table (and its gradient buffer) is never materialized.
+    Mathematically identical to ``ctc_loss(log_softmax(h), ...)``; the
+    backward pass rebuilds softmax(h) in one fused elementwise kernel.
+    """
+    ext, can_skip = _extended_labels(targets, blank)
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)  # (B, T)
+    gathered = jnp.take_along_axis(
+        logits, ext[:, None, :].astype(jnp.int32), axis=2)  # (B, T, S)
+    emits = gathered.astype(jnp.float32) - lse[:, :, None]
+    return _ctc_scan(emits, can_skip, input_lengths, label_lengths)
+
+
+def _ctc_scan(emits, can_skip, input_lengths, label_lengths):
+    """Forward DP over the (B, S) lattice given gathered emissions."""
+    B, T, S = emits.shape
     alpha0 = jnp.full((B, S), NEG_INF)
     alpha0 = alpha0.at[:, 0].set(emits[:, 0, 0])
     alpha0 = alpha0.at[:, 1].set(emits[:, 0, 1])

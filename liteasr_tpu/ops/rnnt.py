@@ -46,12 +46,17 @@ def rnnt_loss(
     U = U1 - 1
     assert targets.shape[1] == U, (targets.shape, logits.shape)
 
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # log p[v] = h[v] - logsumexp(h): the lattice only needs the blank and
+    # target-label scores, so gather those two slices and normalize — the
+    # full (B, T, U+1, V) fp32 log-softmax (2x the bf16 joint table, plus a
+    # same-size gradient buffer) is never materialized. The backward pass
+    # rebuilds softmax(h) in one fused elementwise kernel.
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)  # (B,T,U+1)
 
-    lp_blank = logp[..., blank]  # (B, T, U+1)
+    lp_blank = logits[..., blank].astype(jnp.float32) - lse  # (B, T, U+1)
     lp_emit = jnp.take_along_axis(
-        logp[:, :, :U, :], targets[:, None, :, None].astype(jnp.int32),
-        axis=3)[..., 0]  # (B, T, U)
+        logits[:, :, :U, :], targets[:, None, :, None].astype(jnp.int32),
+        axis=3)[..., 0].astype(jnp.float32) - lse[:, :, :U]  # (B, T, U)
 
     u_idx = jnp.arange(U1)[None, :]  # (1, U+1)
     live = u_idx <= label_lengths[:, None]  # (B, U+1) reachable lattice cols

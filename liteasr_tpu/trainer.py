@@ -4,7 +4,7 @@ Reference: liteasr/trainer.py:28-227. The PyTorch run loop (per-micro-batch
 backward, DDP no_sync, clip, NaN-skip, trigger-decorated events) maps to:
 
 * ONE jitted ``train_step`` containing forward + backward + optimizer update.
-  Gradient accumulation is ``optax.MultiSteps`` (reference no_sync window,
+  Gradient accumulation is a ``lax.cond`` accumulator (reference no_sync window,
   trainer.py:142-151); clipping is ``optax.clip_by_global_norm``; the NaN-skip
   (trainer.py:152-169) is ``optax.apply_if_finite``.
 * Data parallelism: the batch is sharded over the mesh's ``dp`` axis and the
@@ -46,6 +46,51 @@ class TrainState:
     opt_state: Any
 
 
+class AccumState(flax.struct.PyTreeNode):
+    mini_step: jnp.ndarray  # int32, position inside the accumulation window
+    acc: Any                # running grad sum (zeros at window start)
+    inner: Any              # inner transformation state
+
+
+def accumulate_every_k(inner: optax.GradientTransformation,
+                       k: int) -> optax.GradientTransformation:
+    """Gradient accumulation with a real ``lax.cond`` around the inner chain.
+
+    ``optax.MultiSteps`` runs the full inner update (clip + isfinite + Adam)
+    on EVERY micro-step and ``where``-selects the result, costing an extra
+    inner-chain's worth of HBM traffic per micro-step (~10 ms/optimizer-step
+    for the 45 M-param flagship). Here hold steps only add into the
+    accumulator; the inner chain executes on the emitting micro-step alone.
+    Update semantics match MultiSteps: the inner chain sees the *mean* of the
+    k micro-batch gradients.
+    """
+
+    def init(params):
+        return AccumState(
+            mini_step=jnp.zeros((), jnp.int32),
+            acc=jax.tree.map(jnp.zeros_like, params),
+            inner=inner.init(params))
+
+    def update(updates, state, params=None, **extra):
+        acc = jax.tree.map(jnp.add, state.acc, updates)
+
+        def do_apply(acc, inner_state):
+            mean = jax.tree.map(lambda g: g / k, acc)
+            u, s = inner.update(mean, inner_state, params, **extra)
+            return u, s, jax.tree.map(jnp.zeros_like, acc)
+
+        def hold(acc, inner_state):
+            zeros = jax.tree.map(jnp.zeros_like, updates)
+            return zeros, inner_state, acc
+
+        u, new_inner, new_acc = jax.lax.cond(
+            state.mini_step == k - 1, do_apply, hold, acc, state.inner)
+        return u, AccumState(mini_step=(state.mini_step + 1) % k,
+                             acc=new_acc, inner=new_inner)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_tx(optimizer, optimization_cfg) -> optax.GradientTransformation:
     """clip -> adam(+schedule), NaN-protected, accumulated over accum_grad."""
     parts = []
@@ -57,7 +102,7 @@ def build_tx(optimizer, optimization_cfg) -> optax.GradientTransformation:
         optax.chain(*parts), max_consecutive_errors=10 ** 8)
     accum = int(optimization_cfg.accum_grad or 1)
     if accum > 1:
-        return optax.MultiSteps(inner, every_k_schedule=accum)
+        return accumulate_every_k(inner, accum)
     return inner
 
 

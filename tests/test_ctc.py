@@ -124,3 +124,24 @@ def test_infeasible_row_is_masked_in_hybrid_loss():
     loss, aux = crit(model, variables, batch, train=False)
     assert float(loss) < 1e4, f"infeasible row leaked into loss: {loss}"
     assert float(aux["ctc_infeasible"]) == 1.0
+
+
+def test_ctc_logits_matches_log_softmax_path(rng):
+    """ctc_loss_logits(h) == ctc_loss(log_softmax(h)) — values and grads
+    (the logits path never materializes the (B, T, V) log-softmax)."""
+    from liteasr_tpu.ops.ctc import ctc_loss_logits
+
+    logits, targets, in_lens, lab_lens = _random_case(rng)
+    args = (jnp.asarray(targets), jnp.asarray(in_lens), jnp.asarray(lab_lens))
+
+    ref = np.asarray(ctc_loss(
+        jax.nn.log_softmax(jnp.asarray(logits), axis=-1), *args))
+    got = np.asarray(ctc_loss_logits(jnp.asarray(logits), *args))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    g_ref = jax.grad(lambda h: ctc_loss(
+        jax.nn.log_softmax(h, axis=-1), *args).sum())(jnp.asarray(logits))
+    g_got = jax.grad(lambda h: ctc_loss_logits(
+        h, *args).sum())(jnp.asarray(logits))
+    np.testing.assert_allclose(
+        np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
