@@ -172,6 +172,45 @@ class RelativeMultiHeadAttention(MultiHeadAttention):
     matrix_ac + rel_shift(matrix_bd)).
     """
 
+    def _use_flash_train(self, mask) -> bool:
+        """Fused differentiable kernel for the TRAINING forward+backward.
+
+        Only the suffix-padding mask shape is representable as in-kernel
+        kv_lens; structured (chunked/causal) masks stay on the XLA path.
+        """
+        from liteasr_tpu.ops.flash_attention import flash_train_available
+
+        if not flash_train_available():
+            return False
+        return mask is None or (mask.ndim == 4 and mask.shape[1] == 1
+                                and mask.shape[2] == 1)
+
+    def _flash_train(self, q_u, q_v, k, v, p, mask, scale):
+        """(B, T, H, Dk) heads -> fused train-mode attention -> out proj."""
+        from liteasr_tpu.ops.flash_attention import flash_rel_attention_train
+
+        B, Tq, H, Dk = q_u.shape
+
+        def fold(x):
+            return x.transpose(0, 2, 1, 3).reshape(B * H, -1, Dk)
+
+        kv_lens = None
+        if mask is not None:  # (B, 1, 1, Tk) suffix padding -> lengths
+            kv_lens = (~mask[:, 0, 0, :]).sum(axis=-1).astype(jnp.int32)
+            kv_lens = jnp.repeat(kv_lens, H)
+        p_b = jnp.broadcast_to(p, (B,) + p.shape[1:])
+        if self.dropout_rate > 0.0:
+            bits = jax.random.bits(self.make_rng("dropout"), (1,), jnp.uint32)
+            seed = bits[0].astype(jnp.int32)
+        else:
+            seed = jnp.zeros((), jnp.int32)
+        out = flash_rel_attention_train(
+            fold(q_u), fold(q_v), fold(k), fold(v), fold(p_b), kv_lens,
+            seed, scale, float(self.dropout_rate), False)
+        out = out.reshape(B, H, Tq, Dk).transpose(0, 2, 1, 3)
+        out = out.astype(self.dtype).reshape(B, Tq, H * Dk)
+        return nn.Dense(out.shape[-1], dtype=self.dtype, name="linear_o")(out)
+
     @nn.compact
     def __call__(self, query, key, value, pos_emb, mask=None, train: bool = False):
         q, k, v = self.project_qkv(query, key, value)
@@ -196,6 +235,9 @@ class RelativeMultiHeadAttention(MultiHeadAttention):
             p_b = jnp.broadcast_to(p, (B,) + p.shape[1:])  # (B, T, H, Dk)
             return self._flash(q_u, k, v, d_k ** -0.5, mask=mask,
                                rel_qv=q_v, rel_p=p_b)
+
+        if train and self._use_flash_train(mask):
+            return self._flash_train(q_u, q_v, k, v, p, mask, d_k ** -0.5)
 
         # pos_emb is (1, T, D): shared across the batch
         matrix_bd = jnp.einsum(

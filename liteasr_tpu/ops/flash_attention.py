@@ -94,9 +94,88 @@ def _row_roll_left(x, shifts, *, interpret: bool):
     return x
 
 
-def _attn_kernel(refs, o_ref, *, scale: float, num_k_tiles: int, tk: int,
+def _bd_full(qv, p, qs, tq, t_real, *, interpret):
+    """Full-width rel-pos bias rows for one query tile.
+
+    qv: (tq+1, D) fp32 — q_v rows qs..qs+tq (one extra row covers the legacy
+    rel_shift crossover into query row t+1); p: (W, D) fp32 compact table.
+    R[r, c] = qv[r] . p[c]; the reference rel_shift alignment
+    (attention.py:99-118) reads, for key j <= t, R[t, t_real-1-t+j]; for
+    j > t, the pad-reshape trick reads R[t+1, j-t-2] (zero exactly at
+    j == t+1). Both are row-dependent shifts of R, realized as
+    barrel-shifter rolls. Returns bd_full (tq, W).
+    """
+    R = jax.lax.dot_general(
+        qv, p, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (tq+1, W)
+    W = R.shape[1]
+    t_rows = qs + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)[:, 0]
+    b_le = _row_roll_left(
+        R[:-1, :], (t_real - 1 - t_rows) % W, interpret=interpret)
+    b_gt = _row_roll_left(
+        R[1:, :], (W - ((t_rows + 2) % W)) % W, interpret=interpret)
+    t_g = t_rows[:, None]
+    j_g = jax.lax.broadcasted_iota(jnp.int32, (tq, W), 1)
+    return jnp.where(j_g <= t_g, b_le,
+                     jnp.where(j_g == t_g + 1, 0.0, b_gt))
+
+
+def _dbd_to_dR(dB, qs, t_real, *, interpret):
+    """Adjoint of the rel_shift alignment in ``_bd_full``.
+
+    dB: (tq, W) cotangent of bd_full rows for query tile at ``qs``.
+    Returns dR (tq+1, W): dR[t, (t_real-1-t+j) % W] += dB[t, j] for j <= t;
+    dR[t+1, (j-t-2) % W] += dB[t, j] for j > t+1 (j == t+1 reads the
+    rel_shift zero, so its cotangent is dropped). Inverse of a left-roll by
+    s is a left-roll by (W - s) % W.
+    """
+    tq, W = dB.shape
+    t_rows = qs + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)[:, 0]
+    t_g = t_rows[:, None]
+    j_g = jax.lax.broadcasted_iota(jnp.int32, (tq, W), 1)
+
+    s_le = (t_real - 1 - t_rows) % W
+    dB_le = jnp.where(j_g <= t_g, dB, 0.0)
+    dR_top = _row_roll_left(dB_le, (W - s_le) % W, interpret=interpret)
+
+    dB_gt = jnp.where(j_g > t_g + 1, dB, 0.0)
+    dR_bot = _row_roll_left(dB_gt, (t_rows + 2) % W, interpret=interpret)
+
+    zero = jnp.zeros((1, W), jnp.float32)
+    return (jnp.concatenate([dR_top, zero], axis=0)
+            + jnp.concatenate([zero, dR_bot], axis=0))
+
+
+def _dropout_keep(tq, tk, b, qi, kj, seed, rate):
+    """Deterministic per-(batch, q-tile, k-tile) keep mask, (tq, tk) bool.
+
+    A counter-based uint32 hash (murmur3 finalizer over row/col/tile ids)
+    rather than pltpu PRNG state: the backward kernels regenerate the exact
+    mask from the same coordinates, and the same code path works in
+    interpret mode. Keeps a fraction (1 - rate).
+    """
+    u32 = jnp.uint32
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (tq, tk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, (tq, tk), 1)
+    tile = ((u32(b) * u32(65537) + u32(qi)) * u32(8191)
+            + u32(kj)) * u32(131071) + seed.astype(jnp.uint32)
+    u = (rows * u32(0x9E3779B1) + cols * u32(0x85EBCA77)
+         + tile * u32(0xC2B2AE3D))
+    u = u ^ (u >> u32(16))
+    u = u * u32(0x7FEB352D)
+    u = u ^ (u >> u32(15))
+    u = u * u32(0x846CA68B)
+    u = u ^ (u >> u32(16))
+    thr = u32(int(round((1.0 - rate) * 4294967296.0)) & 0xFFFFFFFF) \
+        if rate > 0.0 else u32(0xFFFFFFFF)
+    return u < thr
+
+
+def _attn_kernel(refs, o_ref, lse_ref=None, *, scale: float,
+                 num_k_tiles: int, tk: int,
                  tq: int, t_real: int, has_bias: bool, has_mask: bool,
-                 has_kvlen: bool, has_rel: bool, interpret: bool):
+                 has_kvlen: bool, has_rel: bool, dropout_rate: float = 0.0,
+                 interpret: bool):
     q_ref, k_ref, v_ref = refs[:3]
     rest = list(refs[3:])
     bias_ref = rest.pop(0) if has_bias else None
@@ -104,38 +183,22 @@ def _attn_kernel(refs, o_ref, *, scale: float, num_k_tiles: int, tk: int,
     kvlen_ref = rest.pop(0) if has_kvlen else None
     qv_ref = rest.pop(0) if has_rel else None
     p_ref = rest.pop(0) if has_rel else None
+    seed_ref = rest.pop(0) if dropout_rate > 0.0 else None
 
     q = q_ref[0].astype(jnp.float32)  # (TQ, D)
     d = q.shape[1]
 
     qs = pl.program_id(1) * tq  # global start of this query tile
-    # read the scalar outside the fori_loop: pl.program_id does not lower
+    # read scalars outside the fori_loop: pl.program_id does not lower
     # inside lax control flow in interpret mode
     kv_len = kvlen_ref[pl.program_id(0), 0] if has_kvlen else None
+    b_id, q_id = pl.program_id(0), pl.program_id(1)
+    seed_val = seed_ref[0, 0] if dropout_rate > 0.0 else None
 
     if has_rel:
-        # R[r, c] = (q_v row qs+r) . p[c]; one extra row covers the legacy
-        # rel_shift crossover into query row t+1 at the tile edge
         qv = qv_ref[0, pl.ds(qs, tq + 1), :].astype(jnp.float32)
         p = p_ref[0].astype(jnp.float32)  # (Tp, D)
-        R = jax.lax.dot_general(
-            qv, p, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (TQ+1, Tp)
-        # full-width bias once per q-tile; the k-loop rolls its tile out.
-        # Reference rel_shift alignment (attention.py:99-118): for j <= t
-        # the bias is R[t, T-1-t+j]; for j > t the pad-reshape trick reads
-        # R[t+1, j-t-2] (zero exactly at j == t+1). Both are row-dependent
-        # shifts of R, realized as barrel-shifter rolls.
-        W = R.shape[1]
-        t_rows = qs + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)[:, 0]
-        b_le = _row_roll_left(
-            R[:-1, :], (t_real - 1 - t_rows) % W, interpret=interpret)
-        b_gt = _row_roll_left(
-            R[1:, :], (W - ((t_rows + 2) % W)) % W, interpret=interpret)
-        t_g = t_rows[:, None]
-        j_g = jax.lax.broadcasted_iota(jnp.int32, (tq, W), 1)
-        bd_full = jnp.where(j_g <= t_g, b_le,
-                            jnp.where(j_g == t_g + 1, 0.0, b_gt))
+        bd_full = _bd_full(qv, p, qs, tq, t_real, interpret=interpret)
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -166,9 +229,16 @@ def _attn_kernel(refs, o_ref, *, scale: float, num_k_tiles: int, tk: int,
         m_new = jnp.maximum(m_prev, m_cur)
         p_ = jnp.exp(s - m_new)  # (TQ, TK)
         alpha = jnp.exp(m_prev - m_new)
+        # softmax normalizer accumulates the UNdropped mass (dropout acts
+        # on the normalized probs, reference attention.py:55)
         l_new = l_prev * alpha + p_.sum(axis=1, keepdims=True)
+        p_v = p_
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(tq, tk, b_id, q_id, i, seed_val,
+                                 dropout_rate)
+            p_v = jnp.where(keep, p_, 0.0)
         acc = acc * alpha + jax.lax.dot_general(
-            p_, v, (((1,), (0,)), ((), ())),
+            p_v, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
@@ -178,7 +248,18 @@ def _attn_kernel(refs, o_ref, *, scale: float, num_k_tiles: int, tk: int,
     m, l, acc = jax.lax.fori_loop(0, num_k_tiles, body, (m0, l0, acc0))
 
     out = acc / jnp.maximum(l, 1e-30)
+    if dropout_rate > 0.0:
+        out = out / (1.0 - dropout_rate)
     o_ref[0] = out.astype(o_ref.dtype)
+    if lse_ref is not None:
+        # per-row logsumexp of the masked scores; all-masked rows (l == 0)
+        # get NEG_INF so the backward can zero them instead of NaN-ing.
+        # Written lane-broadcast (tq, 128): Mosaic requires the last block
+        # dim to be 128-divisible, and the backward consumes it in exactly
+        # this layout anyway.
+        lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)),
+                        NEG_INF)
+        lse_ref[0] = jnp.broadcast_to(lse, (tq, 128))
 
 
 def _pad_to(x, size, axis, value=0.0):
@@ -191,7 +272,8 @@ def _pad_to(x, size, axis, value=0.0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "tq", "tk", "interpret"))
+    jax.jit, static_argnames=("scale", "tq", "tk", "interpret",
+                              "return_lse", "dropout_rate"))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -205,6 +287,9 @@ def flash_attention(
     tq: int = DEFAULT_TQ,
     tk: int = DEFAULT_TK,
     interpret: bool = False,
+    return_lse: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
 ) -> jnp.ndarray:
     """:param q: (BH, Tq, D); k/v: (BH, Tk, D)
     :param bias: optional (BH, Tq, Tk) additive term applied AFTER scaling
@@ -221,8 +306,10 @@ def flash_attention(
     bh, t_q, d = q.shape
     t_k = k.shape[1]
 
-    tq_eff = min(tq, max(8, t_q))
-    tk_eff = min(tk, max(8, t_k))
+    # tiles aligned to the (8, 128) vreg: Mosaic's dynamic_rotate (the
+    # rel-bias barrel shifter) rejects unaligned vector shapes
+    tq_eff = min(tq, -(-t_q // 8) * 8)
+    tk_eff = min(tk, -(-t_k // 128) * 128)
 
     tq_pad = -(-t_q // tq_eff) * tq_eff
     tk_pad = -(-t_k // tk_eff) * tk_eff
@@ -286,23 +373,40 @@ def flash_attention(
             pl.BlockSpec((1, tk_pad, d_pad), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM))
         args.append(rel_p)
+    if dropout_rate > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        seed = jnp.zeros((1, 1), jnp.int32) if dropout_seed is None \
+            else jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+        args.append(seed)
 
     kernel = functools.partial(
         _attn_kernel, scale=scale, num_k_tiles=num_k_tiles, tk=tk_eff,
         tq=tq_eff, t_real=t_k, has_bias=bias is not None,
         has_mask=mask is not None, has_kvlen=kv_lens is not None,
-        has_rel=has_rel, interpret=interpret)
+        has_rel=has_rel, dropout_rate=dropout_rate, interpret=interpret)
 
-    def wrapped(*refs):
-        kernel(refs[:-1], refs[-1])
+    out_specs = pl.BlockSpec((1, tq_eff, d_pad), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bh, tq_pad, d_pad), q.dtype)
+    if return_lse:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, tq_eff, 128), lambda b, i: (b, i, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bh, tq_pad, 128), jnp.float32))
+
+        def wrapped(*refs):
+            kernel(refs[:-2], refs[-2], refs[-1])
+    else:
+        def wrapped(*refs):
+            kernel(refs[:-1], refs[-1])
 
     out = pl.pallas_call(
         wrapped,
         grid=(bh, num_q_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tq_eff, d_pad), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d_pad), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * tq_pad * tk_pad * d_pad,
@@ -310,4 +414,347 @@ def flash_attention(
             transcendentals=bh * tq_pad * tk_pad,
         ),
     )(*args)
+    if return_lse:
+        out, lse = out
+        return out[:, :t_q, :d], lse[:, :t_q, 0]
     return out[:, :t_q, :d]
+
+
+# --------------------------------------------------------------------------
+# Differentiable (training) path
+# --------------------------------------------------------------------------
+#
+# The forward runs the fused kernel above; the backward is staged: phase 1
+# (this code) recomputes attention in XLA and differentiates it — bitwise
+# the same math, no kernel risk — so the training path can be wired and
+# parity-tested end to end before the Pallas backward kernel lands.
+
+
+def _rel_shift_xla(x):
+    """Transformer-XL rel shift (reference attention.py:99-118) on
+    (BH, T1, T2). Local copy: nets.attention imports this module."""
+    bh, t1, t2 = x.shape
+    zero_pad = jnp.zeros((bh, t1, 1), dtype=x.dtype)
+    x_padded = jnp.concatenate([zero_pad, x], axis=-1)
+    x_padded = x_padded.reshape(bh, t2 + 1, t1)
+    return x_padded[:, 1:].reshape(bh, t1, t2)
+
+
+def _ref_rel_attention(q_u, qv, k, v, p, kv_lens, scale):
+    """XLA reference of the kernel's rel-pos attention: out only.
+
+    q_u/qv: (BH, Tq, D); k/v: (BH, Tk, D); p: (BH, Tp, D) compact table
+    (Tp == Tk); kv_lens: (BH,) or None. Matches RelativeMultiHeadAttention's
+    (matrix_ac + rel_shift(matrix_bd)) * scale -> masked softmax -> PV.
+    """
+    s = jnp.einsum("bqd,bkd->bqk", q_u.astype(jnp.float32),
+                   k.astype(jnp.float32))
+    bd = jnp.einsum("bqd,bkd->bqk", qv.astype(jnp.float32),
+                    p.astype(jnp.float32))
+    s = (s + _rel_shift_xla(bd)) * scale
+    if kv_lens is not None:
+        j = jnp.arange(s.shape[-1])[None, None, :]
+        s = jnp.where(j >= kv_lens[:, None, None], NEG_INF, s)
+    attn = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", attn, v.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def flash_rel_attention_train(q_u, qv, k, v, p, kv_lens, dropout_seed,
+                              scale, dropout_rate=0.0, interpret=False):
+    """Differentiable fused rel-pos attention (conformer self-attention).
+
+    Forward = the Pallas kernel (score matrix never in HBM); backward =
+    the Pallas kernels in ``_flash_rel_bwd_pallas`` (or the XLA
+    recompute-and-differentiate fallback, ``_TRAIN_BWD_IMPL``).
+    ``kv_lens`` may be None (no padding). ``dropout_rate`` > 0 applies
+    attention-prob dropout (reference attention.py:55) with a
+    counter-based mask derived from ``dropout_seed`` — the backward
+    regenerates the identical mask. Output is fp32 like the XLA path.
+    """
+    return flash_attention(
+        q_u, k, v, kv_lens=kv_lens, rel_qv=qv, rel_p=p, scale=scale,
+        interpret=interpret, dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed).astype(jnp.float32)
+
+
+# "pallas" = fused backward kernels (production); "xla" = recompute-and-
+# differentiate reference (debug fallback, same math)
+_TRAIN_BWD_IMPL = "pallas"
+
+
+def _train_fwd(q_u, qv, k, v, p, kv_lens, dropout_seed, scale,
+               dropout_rate=0.0, interpret=False):
+    out, lse = flash_attention(
+        q_u, k, v, kv_lens=kv_lens, rel_qv=qv, rel_p=p, scale=scale,
+        interpret=interpret, return_lse=True, dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed)
+    out = out.astype(jnp.float32)
+    return out, (q_u, qv, k, v, p, kv_lens, dropout_seed, out, lse)
+
+
+def _train_bwd(scale, dropout_rate, interpret, res, dout):
+    q_u, qv, k, v, p, kv_lens, dropout_seed, out, lse = res
+    cast = lambda g, x: g.astype(x.dtype)
+    if _TRAIN_BWD_IMPL == "xla":
+        assert dropout_rate == 0.0, "XLA fallback has no prob-dropout"
+        _, vjp = jax.vjp(
+            lambda a, b, c, d, e: _ref_rel_attention(a, b, c, d, e, kv_lens,
+                                                     scale),
+            q_u, qv, k, v, p)
+        dq_u, dqv, dk, dv, dp = vjp(dout.astype(jnp.float32))
+    else:
+        dq_u, dqv, dk, dv, dp = _flash_rel_bwd_pallas(
+            q_u, qv, k, v, p, kv_lens, out, lse,
+            dout.astype(jnp.float32), scale, dropout_rate=dropout_rate,
+            dropout_seed=dropout_seed, interpret=interpret)
+    return (cast(dq_u, q_u), cast(dqv, qv), cast(dk, k), cast(dv, v),
+            cast(dp, p), None, None)
+
+
+flash_rel_attention_train.defvjp(_train_fwd, _train_bwd)
+
+
+# --------------------------------------------------------------------------
+# Pallas backward kernel (phase 2)
+# --------------------------------------------------------------------------
+#
+# ONE kernel instance per batch-head computes every gradient:
+#
+#   S = (Q_u K^T + shift(Qv P^T)) * scale ;  A = softmax_masked(S)
+#   dV_j  = sum_i A_ij^T dO_i
+#   dS_ij = A_ij * (dO_i V_j^T - Dvec_i) * scale,  Dvec = rowsum(dO * O)
+#   dK_j  = sum_i dS_ij^T Q_u,i ;  dQ_u,i = sum_j dS_ij K_j
+#   dB    = dS  ->  dR = shift^-1(dB)  ->  dQv_i = dR_i P ; dP = sum_i dR_i^T Qv_i
+#
+# A is reconstructed per tile as exp(S - lse) with the forward's lse, so
+# the (Tq, Tk) score matrix never round-trips HBM. Training lengths fit in
+# VMEM outright, so the tile loops are unrolled python loops over static
+# offsets, every operand loads once, and there is no cross-kernel glue
+# (the earlier two-kernel split recomputed S twice and shipped tile-level
+# intermediates through HBM — measured slower than XLA at T'=200).
+# lse rides lane-broadcast (BH, Tq, 128) straight from the forward.
+
+
+def _safe_probs(s, lse_tile, tk):
+    """exp(s - lse) with all-masked rows (lse == NEG_INF) forced to 0."""
+    lse = lse_tile[:, :tk]
+    dead = lse <= NEG_INF / 2
+    return jnp.where(dead | (s <= NEG_INF / 2), 0.0,
+                     jnp.exp(s - jnp.where(dead, 0.0, lse)))
+
+
+def _pad_rows(seg, lo, hi):
+    """concat zero rows around seg, skipping zero-sized parts (Mosaic
+    rejects 0-row vectors)."""
+    parts = []
+    if lo:
+        parts.append(jnp.zeros((lo, seg.shape[1]), jnp.float32))
+    parts.append(seg)
+    if hi:
+        parts.append(jnp.zeros((hi, seg.shape[1]), jnp.float32))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else seg
+
+
+def _bwd_kernel(q_ref, qv_ref, k_ref, v_ref, p_ref, do_ref, o_ref, lse_ref,
+                kvlen_ref, seed_ref, dq_ref, dqv_ref, dk_ref, dv_ref,
+                dp_ref, *, scale, num_q_tiles, num_k_tiles, tq, tk, t_real,
+                dropout_rate, interpret):
+    b_id = pl.program_id(0)
+    kv_len = kvlen_ref[b_id, 0]
+    seed_val = seed_ref[0, 0] if dropout_rate > 0.0 else None
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+
+    k_all = k_ref[0].astype(jnp.float32)      # (TKp, D)
+    v_all = v_ref[0].astype(jnp.float32)
+    p_tab = p_ref[0].astype(jnp.float32)      # (W, D)
+    d = k_all.shape[1]
+    W = p_tab.shape[0]
+    tkp = num_k_tiles * tk
+
+    dk_acc = jnp.zeros((tkp, d), jnp.float32)
+    dv_acc = jnp.zeros((tkp, d), jnp.float32)
+    dp_acc = jnp.zeros((W, d), jnp.float32)
+    dq_rows = []
+    dqv_rows = None  # (TQp + 1, D) built by padded adds
+
+    for i in range(num_q_tiles):
+        qs = i * tq
+        q = q_ref[0, pl.ds(qs, tq), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qs, tq), :].astype(jnp.float32)
+        o = o_ref[0, pl.ds(qs, tq), :].astype(jnp.float32)
+        lse_t = lse_ref[0, pl.ds(qs, tq), :]  # (tq, 128) lane-broadcast
+        qv = qv_ref[0, pl.ds(qs, tq + 1), :].astype(jnp.float32)
+        dvec = jnp.sum(do * o, axis=1, keepdims=True)  # (tq, 1)
+
+        bd_full = _bd_full(qv, p_tab, qs, tq, t_real, interpret=interpret)
+
+        dq_acc = jnp.zeros((tq, d), jnp.float32)
+        dB_parts = []
+        for j in range(num_k_tiles):
+            ks = j * tk
+            k = k_all[ks:ks + tk, :]
+            v = v_all[ks:ks + tk, :]
+            bd = bd_full[:, ks:ks + tk]
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = (s + bd) * scale
+            j_glob = ks + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            s = jnp.where(j_glob >= kv_len, NEG_INF, s)
+
+            a = _safe_probs(s, lse_t, tk)  # undropped probs
+            dp_ = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (tq, tk)
+            if dropout_rate > 0.0:
+                keep = _dropout_keep(tq, tk, b_id, i, j, seed_val,
+                                     dropout_rate)
+                a_v = jnp.where(keep, a, 0.0) * inv_keep
+                dp_eff = jnp.where(keep, dp_, 0.0) * inv_keep
+            else:
+                a_v, dp_eff = a, dp_
+            ds = a * (dp_eff - dvec) * scale
+
+            dv_seg = jax.lax.dot_general(
+                a_v, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_seg = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv_acc = dv_acc + _pad_rows(dv_seg, ks, tkp - ks - tk)
+            dk_acc = dk_acc + _pad_rows(dk_seg, ks, tkp - ks - tk)
+
+            dq_acc = dq_acc + jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dB_parts.append(ds)
+
+        dB_full = jnp.concatenate(dB_parts, axis=1)  # (tq, W)
+        dR = _dbd_to_dR(dB_full, qs, t_real, interpret=interpret)
+        dqv_tile = jax.lax.dot_general(
+            dR, p_tab, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (tq+1, D)
+        dp_acc = dp_acc + jax.lax.dot_general(
+            dR, qv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (W, D)
+
+        dq_rows.append(dq_acc)
+        tqp1 = num_q_tiles * tq + 1
+        padded = _pad_rows(dqv_tile, qs, tqp1 - qs - tq - 1)
+        dqv_rows = padded if dqv_rows is None else dqv_rows + padded
+
+    dq_all = dq_rows[0] if len(dq_rows) == 1 \
+        else jnp.concatenate(dq_rows, axis=0)
+    dq_ref[0] = dq_all.astype(dq_ref.dtype)
+    dqv_ref[0] = dqv_rows.astype(dqv_ref.dtype)
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+    dp_ref[0] = dp_acc.astype(dp_ref.dtype)
+
+
+def _flash_rel_bwd_pallas(q_u, qv, k, v, p, kv_lens, out, lse, dout,
+                          scale, tq=DEFAULT_TQ, tk=DEFAULT_TK,
+                          dropout_rate=0.0, dropout_seed=None,
+                          interpret=False):
+    """dq_u, dqv, dk, dv, dp for the fused rel-pos attention.
+
+    ``lse`` may be (BH, Tq) or lane-broadcast (BH, Tq_pad, 128).
+    """
+    bh, t_q, d = q_u.shape
+    t_k = k.shape[1]
+    tq_eff = min(tq, -(-t_q // 8) * 8)       # vreg-aligned (see fwd)
+    tk_eff = min(tk, -(-t_k // 128) * 128)
+    tq_pad = -(-t_q // tq_eff) * tq_eff
+    tk_pad = -(-t_k // tk_eff) * tk_eff
+    d_pad = -(-d // 128) * 128
+
+    qp = _pad_to(_pad_to(q_u, tq_pad, 1), d_pad, 2)
+    qvp = _pad_to(_pad_to(qv, tq_pad + 1, 1), d_pad, 2)
+    kp = _pad_to(_pad_to(k, tk_pad, 1), d_pad, 2)
+    vp = _pad_to(_pad_to(v, tk_pad, 1), d_pad, 2)
+    pp = _pad_to(_pad_to(p, tk_pad, 1), d_pad, 2)
+    dop = _pad_to(_pad_to(dout, tq_pad, 1), d_pad, 2)
+    op = _pad_to(_pad_to(out, tq_pad, 1), d_pad, 2)
+
+    if kv_lens is None:
+        kv_lens = jnp.full((bh,), t_k, jnp.int32)
+    kv_smem = kv_lens.astype(jnp.int32).reshape(bh, 1)
+    seed = jnp.zeros((1, 1), jnp.int32) if dropout_seed is None \
+        else jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+
+    if lse.ndim == 2:  # lane-broadcast (the forward already emits 3-D)
+        lse = jnp.broadcast_to(
+            _pad_to(lse, tq_pad, 1, value=NEG_INF)[:, :, None],
+            (bh, tq_pad, 128))
+
+    num_q_tiles = tq_pad // tq_eff
+    num_k_tiles = tk_pad // tk_eff
+    f32 = jnp.float32
+
+    def full(rows):
+        return pl.BlockSpec((1, rows, d_pad), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _bwd_kernel, scale=scale, num_q_tiles=num_q_tiles,
+        num_k_tiles=num_k_tiles, tq=tq_eff, tk=tk_eff, t_real=t_k,
+        dropout_rate=dropout_rate, interpret=interpret)
+    dq, dqv_full, dk, dv, dp_full = pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[
+            full(tq_pad), full(tq_pad + 1), full(tk_pad), full(tk_pad),
+            full(tk_pad), full(tq_pad), full(tq_pad),
+            pl.BlockSpec((1, tq_pad, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(full(tq_pad), full(tq_pad + 1), full(tk_pad),
+                   full(tk_pad), full(tk_pad)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tq_pad, d_pad), f32),
+            jax.ShapeDtypeStruct((bh, tq_pad + 1, d_pad), f32),
+            jax.ShapeDtypeStruct((bh, tk_pad, d_pad), f32),
+            jax.ShapeDtypeStruct((bh, tk_pad, d_pad), f32),
+            jax.ShapeDtypeStruct((bh, tk_pad, d_pad), f32)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * tq_pad * tk_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size + vp.size + dop.size
+                            + op.size) * 4,
+            transcendentals=bh * tq_pad * tk_pad,
+        ),
+    )(qp, qvp, kp, vp, pp, dop, op, lse, kv_smem, seed)
+
+    return (dq[:, :t_q, :d], dqv_full[:, :t_q, :d], dk[:, :t_k, :d],
+            dv[:, :t_k, :d], dp_full[:, :t_k, :d])
+
+
+# Training-path policy: separate from the inference policy above because
+# the tradeoff differs (the backward's score-sized intermediates make the
+# kernel attractive at shorter T than inference fwd). Off until the
+# hard-synced A/B in BENCHMARKS.md says otherwise; LITEASR_FLASH_TRAIN=1/0
+# forces, set_flash_train_enabled overrides both.
+_FORCED_TRAIN: "bool | None" = None
+
+
+def set_flash_train_enabled(enabled: "bool | None") -> None:
+    global _FORCED_TRAIN
+    _FORCED_TRAIN = enabled
+
+
+def flash_train_available() -> bool:
+    if _FORCED_TRAIN is not None:
+        wanted = _FORCED_TRAIN
+    else:
+        env = os.environ.get("LITEASR_FLASH_TRAIN")
+        wanted = env == "1"
+    if not wanted:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

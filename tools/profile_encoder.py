@@ -96,6 +96,17 @@ def main():
         fb = bench(fwd_bwd, variables, xs, xlens)
         print(f"{tag:14s} fwd {f:7.2f} ms   fwd+bwd {fb:7.2f} ms", flush=True)
 
+    import sys
+
+    if "--flash-train" in sys.argv:
+        from liteasr_tpu.ops.flash_attention import set_flash_train_enabled
+
+        run("xla_base")
+        set_flash_train_enabled(True)
+        run("flash_train")
+        set_flash_train_enabled(None)
+        return
+
     run("base")
     run("no_dropout", dropout_rate=0.0)
     run("abs_attn", use_rel=False)
