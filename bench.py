@@ -117,7 +117,8 @@ def main():
                 warmup=25000), None)
     # accum_grad=2 matches the documented operating point (BASELINE.md);
     # each measured iteration is one micro-batch of B utterances
-    tx = build_tx(optimizer, DotDict(accum_grad=2, clip_grad_norm=5.0))
+    tx = build_tx(optimizer, DotDict(accum_grad=2, clip_grad_norm=5.0),
+                  flat=True)
 
     mesh = get_mesh(dp=-1, tp=1)
     repl, bsh = replicated_sharding(mesh), batch_sharding(mesh)

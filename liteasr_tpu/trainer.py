@@ -91,8 +91,17 @@ def accumulate_every_k(inner: optax.GradientTransformation,
     return optax.GradientTransformation(init, update)
 
 
-def build_tx(optimizer, optimization_cfg) -> optax.GradientTransformation:
-    """clip -> adam(+schedule), NaN-protected, accumulated over accum_grad."""
+def build_tx(optimizer, optimization_cfg,
+             flat: bool = False) -> optax.GradientTransformation:
+    """clip -> adam(+schedule), NaN-protected, accumulated over accum_grad.
+
+    ``flat=True`` wraps the chain in ``optax.flatten``: the isfinite check,
+    clip, and Adam run on ONE contiguous vector instead of hundreds of
+    per-leaf kernels (~350 leaves for the flagship; each transformation
+    launches per-leaf ops with fixed overhead). Only valid when the
+    optimizer state is replicated — the Trainer enables it iff tp == 1
+    (a flat buffer cannot carry per-leaf tensor-parallel shardings).
+    """
     parts = []
     clip = float(optimization_cfg.clip_grad_norm or 0.0)
     if clip > 0:
@@ -100,6 +109,8 @@ def build_tx(optimizer, optimization_cfg) -> optax.GradientTransformation:
     parts.append(optimizer.tx)
     inner = optax.apply_if_finite(
         optax.chain(*parts), max_consecutive_errors=10 ** 8)
+    if flat:
+        inner = optax.flatten(inner)
     accum = int(optimization_cfg.accum_grad or 1)
     if accum > 1:
         return accumulate_every_k(inner, accum)
@@ -153,7 +164,8 @@ class Trainer:
         n_params = sum(x.size for x in jax.tree.leaves(params))
         logger.info("model parameters: %.2fM", n_params / 1e6)
 
-        self.tx = build_tx(optimizer, cfg.optimization)
+        tp = int(cfg.distributed.tp or 1)
+        self.tx = build_tx(optimizer, cfg.optimization, flat=(tp == 1))
         opt_state = jax.jit(self.tx.init)(params)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats, opt_state=opt_state)

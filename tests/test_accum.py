@@ -79,3 +79,24 @@ def test_hold_step_emits_zero_updates():
     assert all(float(jnp.abs(u).max()) == 0.0
                for u in jax.tree.leaves(updates))
     assert int(state.mini_step) == 1
+
+
+def test_flat_optimizer_matches_tree():
+    """build_tx(flat=True) must produce the same trajectory as the per-leaf
+    tree path (optax.flatten only changes kernel granularity)."""
+    from liteasr_tpu.config.core import DotDict
+    from liteasr_tpu.optims import build_optimizer
+    from liteasr_tpu.trainer import build_tx
+
+    opt_cfg = DotDict(name="noam", lr=1e-3, beta1=0.9, beta2=0.98, eps=1e-9,
+                      weight_decay=0.0, amsgrad=False, model_dim=16,
+                      factor=1.0, warmup=10)
+    o_cfg = DotDict(accum_grad=2, clip_grad_norm=5.0)
+    grads = _grad_stream(6)
+
+    ref = _run(build_tx(build_optimizer(opt_cfg, None), o_cfg), grads)
+    got = _run(build_tx(build_optimizer(opt_cfg, None), o_cfg, flat=True),
+               grads)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

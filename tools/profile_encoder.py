@@ -11,11 +11,14 @@ Times the 12L/256d conformer encoder forward (and fwd+bwd) under ablations:
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_encoder.py
 """
 
+import os
 import time
 
 import numpy as np
 
-B, T, D = 32, 800, 80
+B = int(os.environ.get("PROF_B", 32))
+T = int(os.environ.get("PROF_T", 800))
+D = 80
 WARMUP, ITERS = 3, 10
 
 

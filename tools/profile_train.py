@@ -3,11 +3,12 @@
 Times each pipeline stage separately (hard host syncs, see CLAUDE.md) so
 optimization effort goes where the milliseconds are:
 
-  enc_fwd       encoder apply only, train-mode dropout
-  model_fwd     full U2 forward (enc + dec + ctc head)
-  fwd_bwd       criterion fwd + grad (no optimizer)
-  step_accum1   full train step, plain chained tx
-  step_accum2   full train step, optax.MultiSteps(every_k=2)
+  enc_fwd          encoder apply only, train-mode dropout
+  model_fwd        full U2 forward (enc + dec + ctc head)
+  fwd_bwd          criterion fwd + grad (no optimizer)
+  step_accum1      full train step, plain chained tx
+  step_accum2      full train step, accumulate_every_k(k=2)
+  step_accum2_flat same, optax.flatten'd optimizer chain
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_train.py
 """
@@ -170,6 +171,9 @@ def main():
     record("step_accum1", run_step(make_step(tx1, None), tx1))
     tx2 = build_tx(optimizer, DotDict(accum_grad=2, clip_grad_norm=5.0))
     record("step_accum2", run_step(make_step(tx2, None), tx2))
+    txf = build_tx(optimizer, DotDict(accum_grad=2, clip_grad_norm=5.0),
+                   flat=True)
+    record("step_accum2_flat", run_step(make_step(txf, None), txf))
     print(f"{'bwd-only':14s} {results['fwd_bwd'] - results['model_fwd']:8.2f} ms (derived)")
     print(f"{'optimizer':14s} {results['step_accum1'] - results['fwd_bwd']:8.2f} ms (derived)")
     print(f"{'accum-overhead':14s} {results['step_accum2'] - results['step_accum1']:8.2f} ms (derived)")
