@@ -43,6 +43,7 @@ class ParaformerLoss(LiteasrLoss):
         if train:
             (hs_attn, sum_alpha), new_model_state = model.apply(
                 variables, xs, xlens, ys, ylens, train=True,
+                step=batch.get("step"),
                 rngs=rngs, mutable=["batch_stats"])
         else:
             hs_attn, sum_alpha = model.apply(

@@ -41,6 +41,18 @@ class ParaformerConfig(LiteasrDataclass):
     activation: str = "swish"
 
     sample_ratio: float = 0.75
+    # Optional glancing-ratio schedule (GLAT-style): anneal sample_ratio ->
+    # sample_ratio_end linearly over sample_ratio_decay_steps optimizer
+    # steps. None/0 keeps the reference's constant ratio.
+    sample_ratio_end: Optional[float] = None
+    sample_ratio_decay_steps: int = 0
+    # Reference parity mixes ground-truth embeddings during validation too
+    # (glancing_sampler is not train-gated, liteasr/models/paraformer.py:
+    # 104-122), which flatters valid CE in proportion to the leakage.
+    # glance_at_eval=False scores validation with ratio 0 (no mixing) so
+    # valid loss tracks the honest pure-CIF decode quality that N-best
+    # checkpoint selection needs.
+    glance_at_eval: bool = True
 
     vocab_size: int = MISSING
     dec_dim: int = 256
@@ -73,6 +85,9 @@ class Paraformer(LiteasrModel):
     enc_layers: int = 12
     activation: str = "swish"
     sample_ratio: float = 0.75
+    sample_ratio_end: Optional[float] = None
+    sample_ratio_decay_steps: int = 0
+    glance_at_eval: bool = True
     dec_dim: int = 256
     dec_ff_dim: int = 2048
     dec_attn_heads: int = 4
@@ -118,8 +133,26 @@ class Paraformer(LiteasrModel):
         self.pe = PositionalEncoding(self.pos_dropout_rate, dtype=self.dtype)
         self.predictor = Predictor(dtype=self.dtype)
 
-    def __call__(self, xs, xlens, ys, ylens, train: bool = False):
-        """Two-pass glancing training forward. Returns (hs_attn, sum_alpha)."""
+    def _glance_ratio(self, train: bool, step):
+        """Effective glancing ratio: scheduled during training, honest-or-
+        reference at eval (see glance_at_eval)."""
+        if not train and not self.glance_at_eval:
+            return 0.0
+        ratio = self.sample_ratio
+        if (self.sample_ratio_end is not None
+                and self.sample_ratio_decay_steps > 0 and step is not None):
+            frac = jnp.clip(
+                step.astype(jnp.float32) / self.sample_ratio_decay_steps,
+                0.0, 1.0)
+            ratio = ratio + (self.sample_ratio_end - ratio) * frac
+        return ratio
+
+    def __call__(self, xs, xlens, ys, ylens, train: bool = False, step=None):
+        """Two-pass glancing training forward. Returns (hs_attn, sum_alpha).
+
+        ``step`` (traced int scalar) drives the optional glancing-ratio
+        schedule; the trainer threads it through ``batch["step"]``.
+        """
         B, T = xs.shape[0], xs.shape[1]
         U = ys.shape[1]
 
@@ -147,7 +180,8 @@ class Paraformer(LiteasrModel):
         else:
             rng = jax.random.PRNGKey(0)
         hs_mix = glancing_sample(
-            rng, hs_cif, embed_ys, ys_in, ys_hat, ylens, self.sample_ratio)
+            rng, hs_cif, embed_ys, ys_in, ys_hat, ylens,
+            self._glance_ratio(train, step))
 
         # pass 2 (with grads)
         hs_attn = self.decoder(
@@ -198,6 +232,10 @@ class Paraformer(LiteasrModel):
             enc_layers=cfg.enc_layers,
             activation=cfg.activation,
             sample_ratio=cfg.sample_ratio,
+            sample_ratio_end=cfg.get("sample_ratio_end"),
+            sample_ratio_decay_steps=int(
+                cfg.get("sample_ratio_decay_steps") or 0),
+            glance_at_eval=bool(cfg.get("glance_at_eval", True)),
             dec_dim=cfg.dec_dim,
             dec_ff_dim=cfg.dec_ff_dim,
             dec_attn_heads=cfg.dec_attn_heads,

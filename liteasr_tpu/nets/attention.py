@@ -44,10 +44,12 @@ class MultiHeadAttention(nn.Module):
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="linear_o")(x)
 
     def _use_flash(self, train: bool, kv_len: int = 0) -> bool:
-        """Inference-only for now: the kernel has no attention-prob dropout
-        and no custom VJP yet, so the differentiated train path stays on the
-        XLA fusion. Default policy is length-based (see flash_attention.py):
-        the kernel wins once the score matrix dominates HBM traffic."""
+        """Inference-only for this absolute-PE class. (The relative-PE class
+        additionally has a differentiable train kernel with in-kernel dropout
+        — ``flash_rel_attention_train`` — gated separately by
+        ``set_flash_train_enabled``; see RelativeMultiHeadAttention.)
+        Default policy is length-based (see flash_attention.py): the kernel
+        wins once the score matrix dominates HBM traffic."""
         from liteasr_tpu.ops.flash_attention import flash_available
 
         return flash_available(kv_len) and not train
@@ -186,7 +188,16 @@ class RelativeMultiHeadAttention(MultiHeadAttention):
                                 and mask.shape[2] == 1)
 
     def _flash_train(self, q_u, q_v, k, v, p, mask, scale):
-        """(B, T, H, Dk) heads -> fused train-mode attention -> out proj."""
+        """(B, T, H, Dk) heads -> fused train-mode attention -> out proj.
+
+        CONTRACT: ``mask`` must be a pure suffix-contiguous padding mask
+        (shape (B, 1, 1, Tk), True = masked, all True positions at the end)
+        — it is compressed to per-row ``kv_lens`` by counting unmasked
+        positions, so a structured/non-contiguous mask would silently
+        produce wrong attention. collate_batch guarantees this invariant;
+        tests/test_flash_attention.py checks the iota>=kv_lens
+        reconstruction round-trip.
+        """
         from liteasr_tpu.ops.flash_attention import flash_rel_attention_train
 
         B, Tq, H, Dk = q_u.shape

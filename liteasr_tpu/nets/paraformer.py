@@ -24,12 +24,119 @@ from liteasr_tpu.nets.layers import DecoderLayer
 from liteasr_tpu.ops.masks import padding_mask
 
 
+# Above this many weight-matrix cells (U * T) the closed-form path would
+# materialize too large a (B, U, T) tensor; fall back to the scan.
+_DENSE_CIF_MAX_CELLS = 512 * 1024
+
+
+def cif_scan(alpha, xs32, beta, U):
+    """Reference-shaped integrate-and-fire as a ``lax.scan`` over T.
+
+    Kept as the long-sequence fallback and as the parity oracle for
+    :func:`cif_dense` (tests/test_paraformer.py).
+    """
+    B, T, D = xs32.shape
+
+    def step(carry, t):
+        prev_alpha, prev_state, count, buf = carry
+        cur_alpha = alpha[:, t]  # (B,)
+        cur_state = xs32[:, t]  # (B, D)
+
+        new_alpha = prev_alpha + cur_alpha
+        is_fired = new_alpha >= beta  # (B,)
+        left = (beta - prev_alpha)[:, None]
+        right = (new_alpha - beta)[:, None]
+
+        fired_state = prev_state + left * cur_state  # (B, D)
+        next_alpha = jnp.where(is_fired, right[:, 0], new_alpha)
+        next_state = jnp.where(
+            is_fired[:, None], right * cur_state,
+            prev_state + left * cur_state)
+
+        write = is_fired & (count < U)
+        pos = jnp.arange(U)[None, :, None]  # (1, U, 1)
+        buf = jnp.where(
+            (pos == count[:, None, None]) & write[:, None, None],
+            fired_state[:, None, :], buf)
+        count = count + write.astype(count.dtype)
+        return (next_alpha, next_state, count, buf), None
+
+    carry0 = (
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B, D), jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, U, D), jnp.float32),
+    )
+    (_, _, _, buf), _ = jax.lax.scan(step, carry0, jnp.arange(T))
+    return buf
+
+
+def cif_dense(alpha, xs32, beta, U):
+    """Closed-form integrate-and-fire: cumsum + cummin + ONE batched matmul.
+
+    TPU-native replacement for the sequential scan. The key identities:
+
+    * fires-so-far obeys ``k[t] = min(floor(csum[t]/beta), k[t-1] + 1)``
+      (at most one fire per frame, each fire subtracts exactly beta), whose
+      unrolled form ``k[t] = t + min(1, min_{s<=t}(floor(csum[s]/beta)-s))``
+      is a log-depth ``cummin``;
+    * every frame contributes ``(k[t-1]+1)*beta - csum[t-1]`` of its state
+      to the token it lands in (this single expression covers BOTH the
+      reference's quirky not-fired accumulation ``left_alpha * cur_state``
+      AND the fired 'left' part, predictor.py:88-97), and a firing frame
+      additionally carries ``csum[t] - k[t]*beta`` into the next token;
+    * a token is materialized iff it fires, i.e. iff its index < k[T-1].
+
+    The (B, U, T) weight matrix assembled from those terms turns the whole
+    integration into ``einsum('but,btd->bud')`` on the MXU — no sequential
+    dependence anywhere. Gradient-equivalent to the scan: fire decisions
+    (integer k) carry no gradient in either form, and the weights are the
+    same linear functions of csum/beta.
+    """
+    B, T, D = xs32.shape
+    ar = jnp.arange(T, dtype=jnp.int32)
+
+    csum = jnp.cumsum(alpha, axis=1)  # (B, T)
+    csum_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), csum.dtype), csum[:, :-1]], axis=1)
+
+    # beta <= 0 is a degenerate regime (the scan fires every frame); the
+    # safe divisor reproduces fire-every-frame behaviour via the k clamp.
+    beta_safe = jnp.maximum(beta, 1e-8)[:, None]
+    f = jnp.floor(jax.lax.stop_gradient(csum) / beta_safe).astype(jnp.int32)
+    g = jax.lax.cummin(f - ar[None, :], axis=1)
+    k = ar[None, :] + jnp.minimum(g, 1)  # (B, T) fires-so-far
+    k_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), k[:, :-1]], axis=1)
+    k_total = k[:, -1:]  # (B, 1)
+
+    fired = k > k_prev
+    w_cur = (k_prev + 1).astype(jnp.float32) * beta[:, None] - csum_prev
+    w_next = csum - k.astype(jnp.float32) * beta[:, None]
+
+    u_ar = jnp.arange(U, dtype=jnp.int32)[None, :, None]  # (1, U, 1)
+    cur_w = jnp.where(
+        (k_prev[:, None, :] == u_ar) & (k_prev < k_total)[:, None, :],
+        w_cur[:, None, :], 0.0)
+    next_w = jnp.where(
+        (k[:, None, :] == u_ar) & (fired & (k < k_total))[:, None, :],
+        w_next[:, None, :], 0.0)
+    W = cur_w + next_w  # (B, U, T)
+    return jax.lax.dot_general(
+        W, xs32, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
 class Predictor(nn.Module):
     """CIF: conv -> relu -> linear -> sigmoid alpha, then integrate-and-fire.
 
     NOTE on parity: the not-fired accumulation uses the reference's exact
     update ``prev_state + left_alpha * cur_state`` (predictor.py:88-97),
     where left_alpha = beta - prev_alpha (the CIF paper uses cur_alpha).
+
+    The integration itself is the closed-form :func:`cif_dense` (cumsum +
+    cummin + one batched matmul) whenever the (U, T) weight matrix is small
+    enough, with the :func:`cif_scan` fallback for very long sequences.
     """
 
     dtype: jnp.dtype = jnp.float32
@@ -67,38 +174,10 @@ class Predictor(nn.Module):
         beta = sum_alpha / ulens - 1e-4  # prevent precision error
 
         xs32 = xs.astype(jnp.float32)
-
-        def step(carry, t):
-            prev_alpha, prev_state, count, buf = carry
-            cur_alpha = alpha[:, t]  # (B,)
-            cur_state = xs32[:, t]  # (B, D)
-
-            new_alpha = prev_alpha + cur_alpha
-            is_fired = new_alpha >= beta  # (B,)
-            left = (beta - prev_alpha)[:, None]
-            right = (new_alpha - beta)[:, None]
-
-            fired_state = prev_state + left * cur_state  # (B, D)
-            next_alpha = jnp.where(is_fired, right[:, 0], new_alpha)
-            next_state = jnp.where(
-                is_fired[:, None], right * cur_state,
-                prev_state + left * cur_state)
-
-            write = is_fired & (count < U)
-            pos = jnp.arange(U)[None, :, None]  # (1, U, 1)
-            buf = jnp.where(
-                (pos == count[:, None, None]) & write[:, None, None],
-                fired_state[:, None, :], buf)
-            count = count + write.astype(count.dtype)
-            return (next_alpha, next_state, count, buf), None
-
-        carry0 = (
-            jnp.zeros((B,), jnp.float32),
-            jnp.zeros((B, D), jnp.float32),
-            jnp.zeros((B,), jnp.int32),
-            jnp.zeros((B, U, D), jnp.float32),
-        )
-        (_, _, _, buf), _ = jax.lax.scan(step, carry0, jnp.arange(T))
+        if U * T <= _DENSE_CIF_MAX_CELLS:
+            buf = cif_dense(alpha, xs32, beta, U)
+        else:
+            buf = cif_scan(alpha, xs32, beta, U)
         return buf.astype(self.dtype), sum_alpha
 
 

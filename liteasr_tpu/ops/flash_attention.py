@@ -166,7 +166,10 @@ def _dropout_keep(tq, tk, b, qi, kj, seed, rate):
     u = u ^ (u >> u32(15))
     u = u * u32(0x846CA68B)
     u = u ^ (u >> u32(16))
-    thr = u32(int(round((1.0 - rate) * 4294967296.0)) & 0xFFFFFFFF) \
+    # Clamp (not wrap) at 2**32 - 1: for infinitesimal rates the rounded
+    # threshold equals 2**32, and masking it to 32 bits would drop EVERY
+    # element instead of almost none.
+    thr = u32(min(int(round((1.0 - rate) * 4294967296.0)), 0xFFFFFFFF)) \
         if rate > 0.0 else u32(0xFFFFFFFF)
     return u < thr
 
@@ -661,6 +664,14 @@ def _flash_rel_bwd_pallas(q_u, qv, k, v, p, kv_lens, out, lse, dout,
     """dq_u, dqv, dk, dv, dp for the fused rel-pos attention.
 
     ``lse`` may be (BH, Tq) or lane-broadcast (BH, Tq_pad, 128).
+
+    SCALING LIMIT: the kernel fully unrolls the num_q_tiles x num_k_tiles
+    Python loops and keeps K/V plus five gradient accumulators resident in
+    VMEM per batch-head, so compile time and VMEM pressure grow
+    quadratically with sequence length (13x13 tile pairs at T~1600). The
+    path is opt-in (set_flash_train_enabled) and benchmarked at short T;
+    before enabling it by default for long-T training, re-tile the q loop
+    as a grid dimension / fori_loop and stream K/V tiles.
     """
     bh, t_q, d = q_u.shape
     t_k = k.shape[1]

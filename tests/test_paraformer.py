@@ -30,6 +30,53 @@ def test_cif_fires_expected_count():
     assert np.allclose(norms[1, U - 2:], 0.0)
 
 
+@pytest.mark.parametrize("seed,B,T,D,U", [
+    (0, 3, 40, 8, 7), (1, 2, 64, 16, 12), (2, 4, 25, 4, 25),
+])
+def test_cif_dense_matches_scan(seed, B, T, D, U):
+    """Closed-form CIF (cumsum + cummin + matmul) vs the scan oracle:
+    same integration AND same gradients w.r.t. alpha, xs, beta."""
+    from liteasr_tpu.nets.paraformer import cif_dense, cif_scan
+
+    rng = np.random.default_rng(seed)
+    xs = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    alpha = jnp.asarray(rng.uniform(0.05, 0.95, size=(B, T)), jnp.float32)
+    # mask a suffix like the predictor does
+    xlens = jnp.asarray(rng.integers(T // 2, T + 1, size=B), jnp.int32)
+    alpha = jnp.where(jnp.arange(T)[None, :] >= xlens[:, None], 0.0, alpha)
+    ulens = jnp.asarray(rng.integers(1, U + 1, size=B), jnp.float32)
+    beta = alpha.sum(axis=1) / ulens - 1e-4
+
+    out_s = cif_scan(alpha, xs, beta, U)
+    out_d = cif_dense(alpha, xs, beta, U)
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_s), rtol=2e-4, atol=2e-4)
+
+    def loss_s(a, x, b):
+        return (cif_scan(a, x, b, U) ** 2).sum()
+
+    def loss_d(a, x, b):
+        return (cif_dense(a, x, b, U) ** 2).sum()
+
+    gs = jax.grad(loss_s, argnums=(0, 1, 2))(alpha, xs, beta)
+    gd = jax.grad(loss_d, argnums=(0, 1, 2))(alpha, xs, beta)
+    for a, b in zip(gs, gd):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-3)
+
+
+def test_cif_dense_degenerate_beta():
+    """beta <= 0 (all-zero alpha) must not produce NaN/inf."""
+    from liteasr_tpu.nets.paraformer import cif_dense
+
+    B, T, D, U = 2, 10, 4, 5
+    alpha = jnp.zeros((B, T), jnp.float32)
+    xs = jnp.ones((B, T, D), jnp.float32)
+    beta = alpha.sum(axis=1) / 3.0 - 1e-4  # negative
+    out = cif_dense(alpha, xs, beta, U)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 @pytest.fixture(scope="module")
 def tiny_paraformer():
     cfg = compose([
@@ -57,6 +104,34 @@ def tiny_paraformer():
     batch = {"xs": xs, "xlens": xlens, "ys": ys, "ylens": ylens,
              "valid": jnp.ones(B)}
     return model, variables, crit, batch
+
+
+def test_glancing_schedule_and_honest_eval(tiny_paraformer):
+    """sample_ratio schedule reaches its end value; glance_at_eval=False
+    removes ground-truth mixing from the eval forward."""
+    model, variables, crit, batch = tiny_paraformer
+    sched = model.clone(sample_ratio=0.9, sample_ratio_end=0.0,
+                        sample_ratio_decay_steps=100)
+    r0 = sched._glance_ratio(True, jnp.asarray(0))
+    r50 = sched._glance_ratio(True, jnp.asarray(50))
+    r200 = sched._glance_ratio(True, jnp.asarray(200))
+    assert float(r0) == pytest.approx(0.9)
+    assert float(r50) == pytest.approx(0.45)
+    assert float(r200) == pytest.approx(0.0)
+
+    honest = model.clone(glance_at_eval=False)
+    assert honest._glance_ratio(False, None) == 0.0
+    assert model._glance_ratio(False, None) == pytest.approx(
+        model.sample_ratio)
+
+    # eval forwards: honest (ratio 0) differs from reference-parity mixing
+    out_ref, _ = model.apply(
+        variables, batch["xs"], batch["xlens"], batch["ys"],
+        batch["ylens"], train=False)
+    out_honest, _ = honest.apply(
+        variables, batch["xs"], batch["xlens"], batch["ys"],
+        batch["ylens"], train=False)
+    assert not np.allclose(np.asarray(out_ref), np.asarray(out_honest))
 
 
 def test_paraformer_forward_shapes(tiny_paraformer):
