@@ -14,6 +14,19 @@ BASELINE.json is ">=5x per-chip utterances/sec vs the PyTorch reference".
 We document the assumed reference point as 25 utt/s per GPU (a typical
 ESPnet/WeNet-class conformer-12L training rate on a V100/A100-class chip for
 this batch geometry), so vs_baseline = value / (5 * 25).
+
+Measurement protocol (defends the recorded number):
+  * WARMUP steps first (also absorbs compile-cache hits), hard host sync.
+  * REPS repetitions of ITERS steps each, every repetition closed by a
+    hard host transfer (``float(loss)`` — ``block_until_ready`` returns
+    early through the remote-execution tunnel, ~16x wrong, see CLAUDE.md).
+  * The reported value is the MEDIAN repetition: single-core host
+    contention (data loaders, CI, a concurrent test suite) shows up as
+    spikes in a minority of repetitions and the median rejects them.
+  * /proc/loadavg is sampled before the run; if the 1-minute load exceeds
+    HOST_LOAD_THRESHOLD the JSON carries ``host_load_warning`` with the
+    observed load — numbers captured under load are suspect and should be
+    re-run on an idle host.
 """
 
 import json
@@ -25,7 +38,8 @@ ASSUMED_REF_UTT_PER_SEC = 25.0  # per-GPU PyTorch reference (documented guess)
 TARGET_MULTIPLIER = 5.0
 
 B, T, D, U = 32, 800, 80, 48
-WARMUP, ITERS = 3, 10
+WARMUP, ITERS, REPS = 5, 10, 5
+HOST_LOAD_THRESHOLD = 0.5  # 1-min loadavg; this host has a single core
 
 # peak dense bf16 FLOP/s per chip by device_kind substring (public specs)
 PEAK_BF16_FLOPS = {
@@ -169,16 +183,24 @@ def main():
     step = jax.jit(train_step, in_shardings=(repl, bsh),
                    out_shardings=(repl, repl), donate_argnums=(0,))
 
+    try:
+        host_load = float(open("/proc/loadavg").read().split()[0])
+    except OSError:  # non-Linux host
+        host_load = None
+
     for _ in range(WARMUP):
         state, loss = step(state, batch)
     float(loss)  # hard host sync: block_until_ready can return early
     # through the remote-execution tunnel, inflating throughput ~16x
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, loss = step(state, batch)
-    float(loss)  # sequential dependency forces all ITERS steps to finish
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, loss = step(state, batch)
+        float(loss)  # sequential dependency forces all ITERS steps finished
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # median repetition
 
     n_chips = len(jax.devices())
     utts_per_sec = B * ITERS / dt / n_chips  # per chip
@@ -189,7 +211,7 @@ def main():
     peak = next((v for k, v in PEAK_BF16_FLOPS.items() if k in kind), None)
     achieved = train_step_flops(vocab) * ITERS / dt / n_chips
     mfu = round(achieved / peak, 4) if peak else None
-    print(json.dumps({
+    out = {
         "metric": "train_utts_per_sec_per_chip",
         "value": round(utts_per_sec, 2),
         "unit": "utt/s",
@@ -197,7 +219,12 @@ def main():
         "tflops_per_chip": round(achieved / 1e12, 2),
         "mfu": mfu,
         "device_kind": kind,
-    }))
+        "rep_spread_pct": round(
+            100.0 * (max(times) - min(times)) / dt, 1),
+    }
+    if host_load is not None and host_load > HOST_LOAD_THRESHOLD:
+        out["host_load_warning"] = host_load
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

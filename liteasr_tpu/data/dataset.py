@@ -28,6 +28,36 @@ logger = logging.getLogger(__name__)
 
 IGNORE = -1
 
+# The conv front-end halves time twice with 3x3/stride-2 convs:
+# T' = ((L-1)//2 - 1)//2 (nets/subsampling.py, u2.py get_pred_len). The
+# smallest L with T' >= 1 is 7.
+MIN_SUBSAMPLE_FRAMES = 7
+assert ((MIN_SUBSAMPLE_FRAMES - 1) // 2 - 1) // 2 >= 1
+assert ((MIN_SUBSAMPLE_FRAMES - 2) // 2 - 1) // 2 < 1
+
+
+def dummy_min_xlen(raw_wave: bool) -> int:
+    """Smallest xlen a weight-0 dummy row may carry so every stage of the
+    frontend still emits >= 1 frame (zero-frame rows break CTC/encoder
+    shapes). Derived from the actual fbank frame geometry + the conv
+    subsampling formula — NOT hard-coded — so a frontend stride change
+    shifts this value automatically (tests/test_dataset.py pins the
+    contract)."""
+    if not raw_wave:
+        return MIN_SUBSAMPLE_FRAMES
+    from liteasr_tpu.ops import fbank
+
+    # enough samples for MIN_SUBSAMPLE_FRAMES fbank frames
+    from inspect import signature
+
+    sig = signature(fbank.log_mel_fbank).parameters
+    frame_length = sig["frame_length"].default
+    frame_shift = sig["frame_shift"].default
+    n = frame_length + (MIN_SUBSAMPLE_FRAMES - 1) * frame_shift
+    assert fbank.num_frames(n, frame_length, frame_shift) \
+        >= MIN_SUBSAMPLE_FRAMES
+    return n
+
 
 def collate_batch(
     samples: List[Audio],
@@ -69,9 +99,8 @@ def collate_batch(
             D = probe.x.shape[-1]
         out_x = np.zeros((rows, T, D), dtype=np.float32)
     out_y = np.full((rows, U), IGNORE, dtype=np.int32)
-    # dummy rows: enough frames/samples so the fbank front-end emits >= 7
-    # frames and the conv subsampling >= 1 frame
-    out_xlen = np.full(rows, min(1360 if raw_wave else 7, T), dtype=np.int32)
+    out_xlen = np.full(rows, min(dummy_min_xlen(raw_wave), T),
+                       dtype=np.int32)
     out_ylen = np.zeros(rows, dtype=np.int32)
     valid = np.zeros(rows, dtype=np.float32)
 

@@ -24,6 +24,7 @@ from liteasr_tpu.config import compose
 from liteasr_tpu.config.core import load_yaml
 from liteasr_tpu.train import setup_logging
 from liteasr_tpu.utils.score import levenshtein
+from liteasr_tpu.data.dataset import dummy_min_xlen
 from liteasr_tpu.utils.misc import round_up
 
 logger = logging.getLogger("liteasr_tpu.infer")
@@ -62,10 +63,10 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
         T = round_up(max(a.xlen for a in chunk), pad_time_multiple)
         if fbank:
             xs = np.zeros((rows, T), np.float32)
-            xlens = np.full(rows, min(1360, T), np.int32)  # dummy rows
+            xlens = np.full(rows, min(dummy_min_xlen(True), T), np.int32)
         else:
             xs = np.zeros((rows, T, dataset.feat_dim), np.float32)
-            xlens = np.full(rows, min(7, T), np.int32)
+            xlens = np.full(rows, min(dummy_min_xlen(False), T), np.int32)
         for i, a in enumerate(chunk):
             xs[i, : a.xlen] = a.x
             xlens[i] = a.xlen
