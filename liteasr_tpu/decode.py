@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from liteasr_tpu.parallel.mesh import to_host
+
 NEG_INF = -1e30
 
 _H1_MULT = np.uint32(1000003)
@@ -469,7 +471,7 @@ def paraformer_decode(model, variables, xs, xlens):
         fn = jax.jit(pipeline)
         _PIPELINE_CACHE[key] = fn
     hyp, ulens = fn(variables, xs, xlens)
-    hyp, ulens = np.asarray(hyp), np.asarray(ulens)
+    hyp, ulens = to_host(hyp), to_host(ulens)
     return [hyp[i, : ulens[i]].tolist() for i in range(hyp.shape[0])]
 
 
@@ -480,15 +482,15 @@ def decode_batch(model, variables, xs, xlens, beam_size: int = 10,
     out = pipeline(variables, xs, xlens)
 
     if mode == "ctc_greedy":
-        ids, keep = (np.asarray(x) for x in out)
+        ids, keep = (to_host(x) for x in out)
         return [ids[b][keep[b]].tolist() for b in range(ids.shape[0])]
 
     if mode == "attention":
-        hyp, lens = (np.asarray(x) for x in out)
+        hyp, lens = (to_host(x) for x in out)
         return [[int(t) for t in hyp[b][:int(lens[b])] if t != model.eos]
                 for b in range(hyp.shape[0])]
 
-    best_hyp, best_len = (np.asarray(x) for x in out)
+    best_hyp, best_len = (to_host(x) for x in out)
     return [tokens_to_list(best_hyp[b], best_len[b])
             for b in range(best_hyp.shape[0])]
 
@@ -581,7 +583,7 @@ def transducer_greedy(model, variables, xs, xlens,
         fn = jax.jit(run)
         _PIPELINE_CACHE[key] = fn
     buf, length = fn(variables, xs, xlens)
-    buf, length = np.asarray(buf), np.asarray(length)
+    buf, length = to_host(buf), to_host(length)
     return [buf[b, : length[b]].tolist() for b in range(B)]
 
 
@@ -783,5 +785,5 @@ def transducer_beam_search(model, variables, xs, xlens,
         fn = jax.jit(run)
         _PIPELINE_CACHE[key] = fn
     tokens, lens = fn(variables, xs, xlens)
-    tokens, lens = np.asarray(tokens), np.asarray(lens)
+    tokens, lens = to_host(tokens), to_host(lens)
     return [tokens[b, : lens[b]].tolist() for b in range(B)]

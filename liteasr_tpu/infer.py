@@ -43,12 +43,12 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
     import jax
 
     from liteasr_tpu.parallel.mesh import (
-        batch_sharding, current_mesh, replicated_sharding)
+        batch_sharding, current_mesh, replicate_tree, scatter_rows)
 
     mesh = current_mesh()
     dp = mesh.shape["dp"]
     row_sharding = batch_sharding(mesh)
-    variables = jax.device_put(variables, replicated_sharding(mesh))
+    variables = replicate_tree(variables, mesh)
 
     batch_size = int(infer_cfg.get("batch_size", 8))
     beam_size = int(infer_cfg.get("beam_size", 10))
@@ -70,8 +70,8 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
         for i, a in enumerate(chunk):
             xs[i, : a.xlen] = a.x
             xlens[i] = a.xlen
-        xs = jax.device_put(jnp.asarray(xs), row_sharding)
-        xlens = jax.device_put(jnp.asarray(xlens), row_sharding)
+        xs = scatter_rows(xs, row_sharding)
+        xlens = scatter_rows(xlens, row_sharding)
         if fbank:
             from liteasr_tpu.ops.fbank import log_mel_fbank
 

@@ -11,4 +11,9 @@ from liteasr_tpu.parallel.mesh import (  # noqa: F401
     process_index,
     local_dp_size,
     distributed_init,
+    to_host,
+    gather_tree,
+    scatter_rows,
+    shard_tree,
+    replicate_tree,
 )

@@ -95,6 +95,78 @@ def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
     }
 
 
+def to_host(x) -> np.ndarray:
+    """Full numpy value of a (possibly process-spanning) array.
+
+    Single-process or fully-replicated arrays are a plain ``device_get``;
+    arrays whose shards live on other processes (dp row shards, tp param
+    shards) go through ``multihost_utils.process_allgather`` — a COLLECTIVE,
+    so in multi-process runs every process must reach this call in the same
+    order (the trigger/event system guarantees lockstep; see
+    Trainer.save_model / Trainer.inference).
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable \
+            and not x.is_fully_replicated:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
+def gather_tree(tree):
+    """Host (numpy) copy of a state pytree; collective per leaf when shards
+    span processes. Every process must call it (see :func:`to_host`)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    return jax.tree.map(to_host, tree)
+
+
+def scatter_rows(arr: np.ndarray, sharding: NamedSharding):
+    """Place a FULL host array onto a row sharding when every process holds
+    the complete value (batch decode builds the whole padded batch from
+    shared manifests). Each process contributes only its local row block."""
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    idx_map = sharding.addressable_devices_indices_map(arr.shape)
+    spans = [(sl[0].start or 0,
+              arr.shape[0] if sl[0].stop is None else sl[0].stop)
+             for sl in idx_map.values()]
+    lo = min(s for s, _ in spans)
+    hi = max(e for _, e in spans)
+    assert sum(e - s for s, e in set(spans)) == hi - lo, (
+        "non-contiguous local row block; mesh device order is not "
+        "process-major")
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(arr[lo:hi]), arr.shape)
+
+
+def shard_tree(tree, shardings):
+    """Place a fully host-resident pytree onto (possibly process-spanning)
+    shardings. Every process must hold the complete value of every leaf —
+    resume reads the same checkpoint file on every host — and contributes
+    only its addressable shards (single-process: plain device_put)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Replicate a pytree onto the mesh. Multi-process (or resharding from
+    tp shards) goes through a jitted identity so GSPMD inserts the
+    all-gathers; single-process is a plain device_put."""
+    repl = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, repl)
+    return jax.jit(lambda t: t, out_shardings=repl)(tree)
+
+
 def is_master() -> bool:
     return jax.process_index() == 0
 

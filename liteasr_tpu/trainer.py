@@ -27,11 +27,13 @@ import optax
 from liteasr_tpu.data.loader import EpochDataLoader
 from liteasr_tpu.parallel import (
     batch_sharding,
+    gather_tree,
     get_mesh,
     is_master,
     local_dp_size,
     replicated_sharding,
     shard_batch,
+    shard_tree,
 )
 from liteasr_tpu.utils.trigger import EventManager
 
@@ -308,9 +310,13 @@ class Trainer:
             return
         from liteasr_tpu import checkpoint
 
-        host_state = jax.device_get(self.state)
+        # gather_tree / shard_tree (not device_get / device_put): with a tp
+        # axis across processes the state's shards are not process-local —
+        # every process gathers the full value, reads the same file, and
+        # re-contributes only its addressable shards.
+        host_state = gather_tree(self.state)
         restored = checkpoint.restore_train_state(path, host_state)
-        self.state = jax.device_put(restored, self._state_sharding)
+        self.state = shard_tree(restored, self._state_sharding)
         meta_path = path + ".meta"
         if os.path.isfile(meta_path):
             with open(meta_path) as f:
@@ -320,13 +326,17 @@ class Trainer:
         logger.info("resumed training state from %s (iter %d, epoch %d)",
                     path, self.iter, self.epoch)
 
-    def _save_train_state(self):
+    def _save_train_state(self, host_state=None):
         import json
 
         from liteasr_tpu import checkpoint
 
+        if host_state is None:
+            host_state = gather_tree(self.state)  # collective: every process
+        if not is_master():
+            return
         path = self._train_state_path()
-        checkpoint.save_train_state(path, self.state)
+        checkpoint.save_train_state(path, host_state)
         with open(path + ".meta", "w") as f:
             json.dump({"iter": self.iter, "epoch": self.epoch}, f)
 
@@ -439,22 +449,30 @@ class Trainer:
             suffix)
 
     def save_model(self):
+        # the gather is a collective when shards span processes (tp axis):
+        # EVERY process must reach it; only the master touches the disk.
+        # (The reference's per-rank trainer has no such hazard; this is the
+        # price of global-mesh sharding, liteasr/trainer.py:211-227.)
+        host_state = gather_tree(self.state)
         if is_master():
             from liteasr_tpu.checkpoint import CKPT_TEMPLATE
 
-            variables = {"params": self.state.params}
-            if self.state.batch_stats:
-                variables["batch_stats"] = self.state.batch_stats
+            variables = {"params": host_state.params}
+            if host_state.batch_stats:
+                variables["batch_stats"] = host_state.batch_stats
             self.task.save_model(CKPT_TEMPLATE.format(self.epoch), variables)
-            self._save_train_state()
+        self._save_train_state(host_state)
 
     def inference(self):
         """Decode the test sets mid-training through the same batched,
         dp-sharded pipeline as liteasr-infer (the reference loops one
         utterance at a time, trainer.py:216-227 — per-utterance dispatch is
-        ~16x slower through the remote-execution tunnel)."""
-        if not is_master():
-            return
+        ~16x slower through the remote-execution tunnel).
+
+        EVERY process runs the decode — infer_dataset's device_puts and
+        per-batch host gathers are collectives on a process-spanning mesh
+        (parallel/mesh.py scatter_rows / to_host); a master-only early
+        return would deadlock the other ranks. Only the master logs."""
         if "test" not in self.task.datasets:
             test_dirs = self.task.cfg.get("test")
             if not test_dirs:
@@ -477,8 +495,9 @@ class Trainer:
                 pad_time_multiple=self.cfg.dataset.get(
                     "pad_time_multiple", 128),
                 verbose=False)
-            logger.info(
-                "%s / %s iters, %s / %s epochs - test error rate: "
-                "%d / %d = %.2f%%",
-                self.iter, self.max_iter, self.epoch, self.max_epoch,
-                err, length, 100.0 * err / max(length, 1))
+            if is_master():
+                logger.info(
+                    "%s / %s iters, %s / %s epochs - test error rate: "
+                    "%d / %d = %.2f%%",
+                    self.iter, self.max_iter, self.epoch, self.max_epoch,
+                    err, length, 100.0 * err / max(length, 1))

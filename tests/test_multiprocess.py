@@ -116,3 +116,81 @@ def test_two_process_training_matches_single_process(tiny_corpus, tmp_path):
     for a, b in zip(mp_leaves, sp_leaves):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def _error_rates(log_path):
+    import re
+
+    text = Path(log_path).read_text()
+    return re.findall(r"test error rate: (\d+ / \d+)", text)
+
+
+@pytest.mark.slow
+def test_two_process_tp_triggers_and_decode(tiny_corpus, tmp_path):
+    """VERDICT r2 #5/#8: a tp axis spanning data that lives across 2 OS
+    processes, with the valid/save_model/inference triggers all firing
+    mid-run. save_model must gather tp-sharded state collectively (master
+    writes), the inference trigger must run the dp-sharded batched decode on
+    EVERY rank (scatter_rows / to_host collectives) without deadlock, and
+    the decoded test error rate must match a single-process run."""
+    from liteasr_tpu.checkpoint import load_params
+
+    port = _free_port()
+    triggers = ("common.trigger=[{name: report_loss, interval: 4, "
+                "unit: iteration}, {name: valid, interval: 1, unit: epoch}, "
+                "{name: save_model, interval: 1, unit: epoch}, "
+                "{name: inference, interval: 1, unit: epoch}]")
+    common = [
+        f"task.test=[{tiny_corpus / 'test'}]",
+        "inference.mode=ctc_greedy", "inference.batch_size=4",
+        "inference.ckpt_name=1",
+        triggers,
+        "distributed.tp=2",
+    ]
+
+    # --- 2 processes x 2 devices: dp=2 across processes, tp=2 ----------
+    mp_dir = tmp_path / "mp"
+    mp_dir.mkdir()
+    dist = [
+        f"distributed.coordinator_address=127.0.0.1:{port}",
+        "distributed.num_processes=2",
+        "distributed.dp=2",
+    ]
+    procs = [
+        _run_worker(
+            _overrides(tiny_corpus, mp_dir,
+                       common + dist + [f"distributed.process_id={rank}"]),
+            devcount=2)
+        for rank in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+        assert f"MP_WORKER_DONE process={rank} count=2" in out, out[-2000:]
+
+    # the master checkpoint exists and the inference trigger fired
+    assert (mp_dir / "ckpts" / "model.ep.1.msgpack").is_file()
+    mp_rates = _error_rates(mp_dir / "train.log")
+    assert mp_rates, "inference trigger produced no error-rate line"
+
+    # --- single process x 4 devices (dp=2 x tp=2), same config ---------
+    sp_dir = tmp_path / "sp"
+    sp_dir.mkdir()
+    p = _run_worker(
+        _overrides(tiny_corpus, sp_dir, common + ["distributed.dp=2"]),
+        devcount=4)
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, out[-4000:]
+    sp_rates = _error_rates(sp_dir / "train.log")
+
+    assert mp_rates == sp_rates, (mp_rates, sp_rates)
+    mp_params = load_params(str(mp_dir / "ckpts" / "model.ep.1.msgpack"))
+    sp_params = load_params(str(sp_dir / "ckpts" / "model.ep.1.msgpack"))
+    import jax
+
+    for a, b in zip(jax.tree.leaves(mp_params), jax.tree.leaves(sp_params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
