@@ -172,7 +172,22 @@ def ctc_prefix_beam_search(
     K = beam_size
     Lmax = max_len or T
 
-    prefixes = jnp.zeros((B, K, Lmax), jnp.int32)
+    step = partial(_ctc_prefix_step, beam_size=K, blank=blank, max_len=Lmax)
+    vstep = jax.vmap(step)
+
+    def scan_body(state, t):
+        active = t < enc_lens  # (B,)
+        new_state = vstep(state, (ctc_logp[:, t], active))
+        return new_state, None
+
+    state = ctc_prefix_beam_init(B, K, Lmax)
+    state, _ = jax.lax.scan(scan_body, state, jnp.arange(T))
+    return ctc_prefix_beam_finalize(state)
+
+
+def ctc_prefix_beam_init(B: int, K: int, max_len: int):
+    """Fresh prefix-beam carry (also the stream-step carry, streaming.py)."""
+    prefixes = jnp.zeros((B, K, max_len), jnp.int32)
     plens = jnp.zeros((B, K), jnp.int32)
     last = jnp.full((B, K), -1, jnp.int32)
     h1 = (jnp.arange(K, dtype=jnp.uint32)[None, :]
@@ -185,19 +200,12 @@ def ctc_prefix_beam_search(
     # beam 0's true empty hash
     h1 = h1.at[:, 0].set(jnp.uint32(17))
     h2 = h2.at[:, 0].set(jnp.uint32(29))
+    return (prefixes, plens, last, h1, h2, pb, pnb)
 
-    step = partial(_ctc_prefix_step, beam_size=K, blank=blank, max_len=Lmax)
-    vstep = jax.vmap(step)
 
-    def scan_body(state, t):
-        active = t < enc_lens  # (B,)
-        new_state = vstep(state, (ctc_logp[:, t], active))
-        return new_state, None
-
-    state = (prefixes, plens, last, h1, h2, pb, pnb)
-    state, _ = jax.lax.scan(scan_body, state, jnp.arange(T))
+def ctc_prefix_beam_finalize(state):
+    """Sort a prefix-beam carry by total score descending."""
     prefixes, plens, last, h1, h2, pb, pnb = state
-
     scores = _logadd(pb, pnb)
     order = jnp.argsort(-scores, axis=1)
     return (

@@ -85,6 +85,21 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
                     model, variables, xs, xlens, beam_size=beam_size)
         elif hasattr(model, "decode"):  # paraformer: CIF + argmax
             hyps = decode.paraformer_decode(model, variables, xs, xlens)
+        elif str(infer_cfg.get("mode", "")).startswith("streaming"):
+            # chunk-by-chunk runtime for chunk-trained encoders
+            # (liteasr_tpu/streaming.py): streaming_ctc_greedy |
+            # streaming_ctc_prefix_beam_search
+            from liteasr_tpu.streaming import streaming_decode
+
+            smode = ("ctc_prefix_beam_search"
+                     if "prefix" in str(infer_cfg.get("mode"))
+                     else "ctc_greedy")
+            from liteasr_tpu.parallel.mesh import to_host
+
+            hyps = streaming_decode(
+                model, variables, to_host(xs), to_host(xlens),
+                chunk_sub=int(infer_cfg.get("chunk_sub", 16)),
+                mode=smode, beam_size=beam_size)
         else:
             hyps = decode.decode_batch(
                 model, variables, xs, xlens,

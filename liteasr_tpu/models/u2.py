@@ -183,6 +183,14 @@ class U2(LiteasrModel):
     def ctc_logits(self, h_enc):
         return self.ctc_lo(h_enc)
 
+    def encode_chunk(self, window, caches, index, kv_lens, pe_len: int):
+        """One streaming encoder step (liteasr_tpu/streaming.py): raw conv
+        window -> chunk hidden states + CTC logits + updated KV caches."""
+        h, new_caches = self.encoder(
+            window, mode="chunk", caches=caches, index=index,
+            kv_lens=kv_lens, pe_len=pe_len)
+        return h, self.ctc_lo(h), new_caches
+
     def decode_logits(self, ys_in, h_enc, mask=None, enc_mask=None):
         """Decoder forward over already-subsampled memory (for beam search)."""
         return self.decoder(

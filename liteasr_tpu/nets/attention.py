@@ -143,6 +143,23 @@ class MultiHeadAttention(nn.Module):
                 scores * (d_k ** -0.5), v, future, train=False)
             return out, {"k": k, "v": v}
 
+        if mode == "chunk":
+            # streaming encoder self-attention: ``query`` is the current
+            # chunk (B, c, D) at stream position ``index``; cache holds the
+            # K/V of everything seen so far (fixed capacity — the caller's
+            # mask hides the unwritten tail and enforces the chunk policy).
+            q, k_t, v_t = self.project_qkv(query, query, query)
+            d_k = q.shape[-1]
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], k_t.astype(cache["k"].dtype), (0, index, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v_t.astype(cache["v"].dtype), (0, index, 0, 0))
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            out = self.apply_attention(
+                scores * (d_k ** -0.5), v, mask, train=False)
+            return out, {"k": k, "v": v}
+
         q, k, v = self.project_qkv(query, key, value)
         d_k = q.shape[-1]
         if self._use_flash(train, key.shape[1]):
@@ -222,8 +239,54 @@ class RelativeMultiHeadAttention(MultiHeadAttention):
         out = out.astype(self.dtype).reshape(B, Tq, H * Dk)
         return nn.Dense(out.shape[-1], dtype=self.dtype, name="linear_o")(out)
 
+    def _chunk(self, q_u, q_v, k_t, v_t, p, cache, index, mask, scale):
+        """Streaming chunked self-attention, exact to the offline path.
+
+        Reproduces ``rel_shift``'s semantics — including the reference's
+        legacy wrap for j > t (liteasr/nets/attention.py:99-118 aliases
+        future relative positions back into the table): with a pos table of
+        length Lp and global stream positions t (query) and j (key),
+
+            bd[t, j] = q_v[t]   . p[Lp - 1 + j - t]   for j <= t
+                     = 0                              for j == t + 1
+                     = q_v[t+1] . p[j - t - 2]        for j >  t + 1
+
+        (the j > t+1 rows reference the NEXT query's q_v — always inside
+        the chunk wherever the chunk policy mask admits such keys). The
+        full (c, Lp) bd table is ONE MXU matmul + a flat gather.
+        """
+        B, c, H, Dk = q_u.shape
+        Lp = p.shape[1]
+        k = jax.lax.dynamic_update_slice(
+            cache["k"], k_t.astype(cache["k"].dtype), (0, index, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache["v"], v_t.astype(cache["v"].dtype), (0, index, 0, 0))
+        Lk = k.shape[1]
+
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
+                        preferred_element_type=jnp.float32)
+        bd_all = jnp.einsum("bqhd,khd->bhqk", q_v, p[0],
+                            preferred_element_type=jnp.float32)  # (B,H,c,Lp)
+
+        t_loc = jnp.arange(c)[:, None]
+        t_g = index + t_loc                       # (c, 1) global query pos
+        j = jnp.arange(Lk)[None, :]               # (1, Lk) global key pos
+        past = j <= t_g
+        row = jnp.where(past, t_loc, jnp.minimum(t_loc + 1, c - 1))
+        col = jnp.where(past, Lp - 1 + j - t_g, j - t_g - 2)
+        col = jnp.clip(col, 0, Lp - 1)
+        flat = (row * Lp + col).reshape(-1)
+        bd = jnp.take(bd_all.reshape(B, H, c * Lp), flat, axis=-1)
+        bd = bd.reshape(B, H, c, Lk)
+        bd = jnp.where((j == t_g + 1)[None, None], 0.0, bd)
+
+        out = self.apply_attention((ac + bd) * scale, v, mask, train=False)
+        return out, {"k": k, "v": v}
+
     @nn.compact
-    def __call__(self, query, key, value, pos_emb, mask=None, train: bool = False):
+    def __call__(self, query, key, value, pos_emb, mask=None,
+                 train: bool = False, mode: str = "full", cache=None,
+                 index=None):
         q, k, v = self.project_qkv(query, key, value)
         d_model = query.shape[-1]
         d_k = d_model // self.n_head
@@ -238,6 +301,10 @@ class RelativeMultiHeadAttention(MultiHeadAttention):
 
         q_u = q + pos_bias_u[None, None].astype(q.dtype)
         q_v = q + pos_bias_v[None, None].astype(q.dtype)
+
+        if mode == "chunk":
+            return self._chunk(q_u, q_v, k, v, p, cache, index, mask,
+                               d_k ** -0.5)
 
         if self._use_flash(train, key.shape[1]):
             # the rel-pos bias is computed in-kernel from the compact (T, D)

@@ -6,6 +6,7 @@ reference's convolution simulation exactly: ``mask[:, :-2:2][:, :-2:2]``
 (transformer_encoder.py:118) — the CTC length formula depends on it.
 """
 
+import math
 from typing import Optional
 
 import flax.linen as nn
@@ -16,6 +17,7 @@ from liteasr_tpu.nets.common import (
     LayerNorm,
     PositionalEncoding,
     RelativePositionalEncoding,
+    sinusoidal_pe,
 )
 from liteasr_tpu.nets.layers import ConformerLayer, EncoderLayer
 from liteasr_tpu.nets.subsampling import Conv2DSubsampling
@@ -56,11 +58,74 @@ class TransformerEncoder(nn.Module):
     normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
 
+    def _chunk_forward(self, x, caches, index, kv_lens, pe_len: int):
+        """One streaming step over the layer stack (see __call__)."""
+        assert self.arch == "transformer", (
+            "streaming decode needs chunk-causal layers; the conformer "
+            "conv module + BatchNorm are not chunk-causal")
+        x = Conv2DSubsampling(self.h_dim, self.dropout_rate,
+                              dtype=self.dtype, name="embed")(x, False)
+        c_sub = x.shape[1]
+        d = x.shape[-1]
+        x = x * math.sqrt(d)
+        if self.use_rel:
+            pos_emb = sinusoidal_pe(pe_len, d, self.dtype)
+        else:
+            pe = sinusoidal_pe(pe_len, d, self.dtype)
+            x = x + jax.lax.dynamic_slice(pe, (0, index, 0), (1, c_sub, d))
+            pos_emb = None
+
+        # key mask: per-QUERY chunk policy (frame t sees keys up to the end
+        # of its own static chunk — exactly triangle_mask(stage) offline)
+        # AND the per-row valid-key count (padding + unwritten cache tail)
+        Lk = caches[0]["k"].shape[1]
+        t_g = index + jnp.arange(c_sub)[:, None]        # (c, 1) global
+        j = jnp.arange(Lk)[None, :]                      # (1, Lk)
+        cs = self.static_chunk_size
+        if cs > 0:
+            allowed_end = ((t_g // cs) + 1) * cs
+        else:
+            allowed_end = index + c_sub  # full left context + current chunk
+        chunk_mask = (j >= allowed_end)[None, None]      # (1, 1, c, Lk)
+        pad_mask = (j >= kv_lens[:, None])[:, None, None, :]  # (B,1,1,Lk)
+        attn_mask = chunk_mask | pad_mask                # (B, 1, c, Lk)
+
+        kwargs = dict(
+            n_head=self.n_head,
+            ff_dim=self.ff_dim,
+            dropout_rate=self.dropout_rate,
+            attn_dropout_rate=self.attn_dropout_rate,
+            ff_dropout_rate=self.ff_dropout_rate,
+            activation=self.activation,
+            use_rel=self.use_rel,
+            normalize_before=self.normalize_before,
+            dtype=self.dtype,
+        )
+        new_caches = []
+        for i in range(self.n_layer):
+            x, nc = EncoderLayer(**kwargs, name=f"layer_{i}")(
+                x, pos_emb, attn_mask, False, mode="chunk",
+                cache=caches[i], index=index)
+            new_caches.append(nc)
+        return LayerNorm(dtype=self.dtype, name="after_norm")(x), new_caches
+
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
-                 train: bool = False):
+                 train: bool = False, mode: str = "full", caches=None,
+                 index=None, kv_lens=None, pe_len: int = 0):
         """:param x: (B, T, F) features; ``mask``: (B, T) True = padding.
-        Returns (B, T', h_dim) with T' = ((T-1)//2-1)//2."""
+        Returns (B, T', h_dim) with T' = ((T-1)//2-1)//2.
+
+        ``mode="chunk"`` is the streaming path (liteasr_tpu/streaming.py):
+        ``x`` is one raw conv window whose subsampled outputs are all new
+        stream frames starting at subsampled position ``index``; ``caches``
+        is a per-layer list of fixed-capacity K/V dicts, ``kv_lens`` (B,)
+        the per-row count of valid cached keys after this chunk, and
+        ``pe_len`` the static positional-table length (must equal the
+        offline padded T' for bit-parity — the legacy rel-shift indexes the
+        table from its end). Returns (chunk hidden states, new caches)."""
+        if mode == "chunk":
+            return self._chunk_forward(x, caches, index, kv_lens, pe_len)
         x = Conv2DSubsampling(self.h_dim, self.dropout_rate,
                               dtype=self.dtype, name="embed")(x, train)
 

@@ -90,8 +90,31 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos_emb=None, mask: Optional[jnp.ndarray] = None,
-                 train: bool = False):
+                 train: bool = False, mode: str = "full", cache=None,
+                 index=None):
         drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+
+        if mode == "chunk":
+            # streaming: self-attention over the KV cache; identical param
+            # names, so one init serves offline and streaming
+            assert self.normalize_before, "streaming decode assumes pre-LN"
+            z = LayerNorm(dtype=self.dtype, name="self_attn_norm")(x)
+            if self.use_rel:
+                attn_out, new_cache = RelativeMultiHeadAttention(
+                    self.n_head, self.attn_dropout_rate, dtype=self.dtype,
+                    name="self_attn")(z, z, z, pos_emb, mask, False,
+                                      mode="chunk", cache=cache, index=index)
+            else:
+                attn_out, new_cache = MultiHeadAttention(
+                    self.n_head, self.attn_dropout_rate, dtype=self.dtype,
+                    name="self_attn")(z, z, z, mask, False,
+                                      mode="chunk", cache=cache, index=index)
+            x = x + attn_out
+            z = LayerNorm(dtype=self.dtype, name="feed_forward_norm")(x)
+            x = x + PositionwiseFeedForward(
+                self.ff_dim, self.ff_dropout_rate, self.activation,
+                dtype=self.dtype, name="feed_forward")(z, False)
+            return x, new_cache
 
         def attn(y):
             if self.use_rel:
