@@ -78,7 +78,45 @@ def build_lexicon(rng, n_words=500):
     return words, freq / freq.sum()
 
 
-def render_utterance(rng, sentence_words, anchors, noise_sigma=0.35):
+def _apply_merge(seq, a, b):
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return tuple(out)
+
+
+def build_bpe_units(words, freqs, n_merges=220):
+    """Frequency-weighted BPE over the closed lexicon: multi-char subword
+    units (VERDICT r2 #6 — a larger, BPE-like token inventory so quality
+    numbers have statistical power). Returns (unit list, word -> units)."""
+    from collections import Counter
+
+    seg = {w: tuple(w) for w in words}
+    weight = dict(zip(words, freqs))
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, seq in seg.items():
+            f = weight[w]
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (a, b), _ = pairs.most_common(1)[0]
+        merges.append(a + b)
+        seg = {w: _apply_merge(s, a, b) for w, s in seg.items()}
+    units = sorted(set(ALPHABET) | set(merges))
+    return units, seg
+
+
+def render_utterance(rng, sentence_words, anchors, noise_sigma=0.35,
+                     dur_base=3, dur_rate=3.0, coart=(0.2, 0.6, 0.2),
+                     channel_scale=0.4):
     """Render a word sequence into (frames, FEAT_DIM) features."""
     symbols = []
     for i, w in enumerate(sentence_words):
@@ -88,7 +126,7 @@ def render_utterance(rng, sentence_words, anchors, noise_sigma=0.35):
 
     chunks = []
     for s in symbols:
-        dur = 3 + rng.poisson(3.0)  # 3..~12 frames per symbol
+        dur = dur_base + rng.poisson(dur_rate)
         a = anchors[s]
         # piecewise-linear trajectory through the 3 anchors
         t = np.linspace(0.0, 2.0, dur)
@@ -101,36 +139,50 @@ def render_utterance(rng, sentence_words, anchors, noise_sigma=0.35):
                                                     FEAT_DIM))])
 
     # coarticulation: moving average over time
-    k = np.array([0.2, 0.6, 0.2])
+    k = np.asarray(coart, float)
     frames = np.apply_along_axis(
         lambda col: np.convolve(col, k, mode="same"), 0, frames)
 
     # speaker/channel effects + noise
     gain = 1.0 + 0.12 * rng.normal()
-    channel = _smooth_vector(rng, FEAT_DIM, scale=0.4)
+    channel = _smooth_vector(rng, FEAT_DIM, scale=channel_scale)
     frames = gain * frames + channel + noise_sigma * rng.normal(
         size=frames.shape)
     return frames.astype(np.float32)
 
 
 def make_split(root, name, n_utt, rng, anchors, words, word_p, writer_mod,
-               noise_sigma=0.35):
+               noise_sigma=0.35, seg=None, render_kwargs=None):
     d = os.path.join(root, name)
     os.makedirs(d, exist_ok=True)
     texts, frames_lines = [], []
     ark = os.path.join(d, "feats.ark")
     scp = os.path.join(d, "feats.scp")
+    render_kwargs = render_kwargs or {}
     with writer_mod.WriteHelper(f"ark,scp:{ark},{scp}") as w:
         for i in range(n_utt):
             uttid = f"{name}_{i:06d}"
-            n_words = int(np.clip(2 + rng.poisson(3.5), 2, 10))
+            max_w = 14 if seg is not None else 10
+            lam = 4.5 if seg is not None else 3.5
+            n_words = int(np.clip(2 + rng.poisson(lam), 2, max_w))
             sent = list(rng.choice(words, size=n_words, p=word_p))
-            feats = render_utterance(rng, sent, anchors, noise_sigma)
+            feats = render_utterance(rng, sent, anchors, noise_sigma,
+                                     **render_kwargs)
             w(uttid, feats)
-            # char-level path (task.delimiter=None) reads a single
-            # concatenated token stream: words are separated by silence in
-            # the acoustics but not in the labels (sheet.py TextSheet)
-            texts.append(f"{uttid} {''.join(sent)}")
+            if seg is not None:
+                # BPE-unit labels (task.delimiter=' '): units within a word,
+                # an explicit <space> unit between words
+                units = []
+                for k, wd in enumerate(sent):
+                    if k > 0:
+                        units.append(SPACE)
+                    units.extend(seg[wd])
+                texts.append(f"{uttid} {' '.join(units)}")
+            else:
+                # char-level path (task.delimiter=None) reads a single
+                # concatenated token stream: words are separated by silence
+                # in the acoustics but not in the labels (sheet.py TextSheet)
+                texts.append(f"{uttid} {''.join(sent)}")
             frames_lines.append(f"{uttid} {feats.shape[0]}")
             if (i + 1) % 2000 == 0:
                 print(f"  {name}: {i + 1}/{n_utt}", flush=True)
@@ -148,6 +200,11 @@ def main():
     ap.add_argument("--test-utts", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--noise-sigma", type=float, default=0.35)
+    ap.add_argument("--hard", action="store_true",
+                    help="VERDICT r2 #6 regime: BPE-like multi-char units, "
+                         "bigger lexicon, 10 tighter confusable pairs, "
+                         "shorter/noisier acoustics (target 2-10%% error)")
+    ap.add_argument("--bpe-merges", type=int, default=220)
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -156,13 +213,28 @@ def main():
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out, exist_ok=True)
 
-    anchors, confusable = build_phone_inventory(rng)
-    words, word_p = build_lexicon(rng)
+    if args.hard:
+        anchors, confusable = build_phone_inventory(
+            rng, n_confusable_pairs=10)
+        for a, b in confusable:  # tighter than the default 0.35
+            anchors[b] = anchors[a] + 0.8 * (anchors[b] - anchors[a])
+        words, word_p = build_lexicon(rng, n_words=800)
+        units, seg = build_bpe_units(words, word_p, args.bpe_merges)
+        noise = max(args.noise_sigma, 0.55)
+        render_kwargs = dict(dur_base=2, dur_rate=2.5,
+                             coart=(0.25, 0.5, 0.25), channel_scale=0.6)
+        tokens = ["<unk>"] + units + [SPACE]
+    else:
+        anchors, confusable = build_phone_inventory(rng)
+        words, word_p = build_lexicon(rng)
+        seg = None
+        noise = args.noise_sigma
+        render_kwargs = None
+        tokens = ["<unk>"] + list(ALPHABET) + [SPACE]
     print(f"confusable pairs: {confusable}")
+    print(f"vocab: {len(tokens)} tokens")
 
-    # char-level vocab (delimiter=None in the task config): ids from 1;
-    # <blank>=0 and <sos/eos>=V-1 are added by Vocab itself
-    tokens = ["<unk>"] + list(ALPHABET) + [SPACE]
+    # vocab ids from 1; <blank>=0 and <sos/eos>=V-1 are added by Vocab
     with open(os.path.join(args.out, "vocab.txt"), "w") as f:
         f.write("".join(f"{t} {i + 1}\n" for i, t in enumerate(tokens)))
 
@@ -170,7 +242,8 @@ def main():
                     ("test", args.test_utts)):
         print(f"rendering {name} ({n} utts)...", flush=True)
         make_split(args.out, name, n, rng, anchors, words, word_p,
-                   kaldi_helpers, noise_sigma=args.noise_sigma)
+                   kaldi_helpers, noise_sigma=noise, seg=seg,
+                   render_kwargs=render_kwargs)
     print("done:", args.out)
 
 
