@@ -1,0 +1,263 @@
+"""Micro-op profile at the flagship operating point: who owns the 30 ms?
+
+Times isolated pieces of the conformer train step (hard-synced, median of
+ITERS) at the post-subsampling shapes B=32, T'=199, C=256, H=4 so the
+encoder-step anatomy in BENCHMARKS.md can be attributed to specific ops,
+and A/Bs candidate replacements before they touch model code:
+
+  attention  - full rel-pos self-attention sublayer fwd / fwd+bwd
+               (XLA path), plus ablations: no rel_shift, no matrix_bd,
+               bf16 score materialization
+  rel_shift  - the pad+reshape skew alone, fwd+bwd
+  bn         - flax BatchNorm vs single-pass custom_vjp candidate
+  conv       - conformer conv module, with/without BN
+  opt        - build_tx flat chain vs per-leaf fused-math candidate
+               on a flagship-sized parameter pytree
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_microops.py [section ...]
+"""
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+B, T, C, H = 32, 199, 256, 4
+DK = C // H
+WARMUP, ITERS = 5, 20
+
+
+def bench(fn, *args):
+    for _ in range(WARMUP):
+        out = fn(*args)
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(np.asarray(leaf).ravel()[0])  # hard sync (tunnel!)
+    ts = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(leaf).ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1e3)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from liteasr_tpu.train import enable_compile_cache
+
+    enable_compile_cache()
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    sections = set(sys.argv[1:]) or {"attention", "rel_shift", "bn", "conv",
+                                     "opt"}
+    rng = np.random.default_rng(0)
+
+    def f32(*shape):
+        return jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    def bf16(*shape):
+        return jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+
+    def report(tag, ms):
+        print(f"  {tag:34s} {ms:8.3f} ms", flush=True)
+
+    # ---------------------------------------------------------- attention
+    if "attention" in sections:
+        from liteasr_tpu.nets.attention import rel_shift
+
+        print("[attention]  (B,T,H,Dk) = "
+              f"({B},{T},{H},{DK}), scores (B,H,T,T) x12 layers", flush=True)
+        q = bf16(B, T, H, DK)
+        k = bf16(B, T, H, DK)
+        v = bf16(B, T, H, DK)
+        p = bf16(T, H, DK)
+        mask = jnp.zeros((B, 1, 1, T), bool)
+
+        def attn_core(q, k, v, p, shift=True, with_bd=True,
+                      score_dtype=jnp.float32):
+            ac = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=score_dtype)
+            if with_bd:
+                bd = jnp.einsum("bqhd,khd->bhqk", q, p,
+                                preferred_element_type=score_dtype)
+                if shift:
+                    bd = rel_shift(bd)
+                scores = ac + bd
+            else:
+                scores = ac
+            scores = scores.astype(jnp.float32) * (DK ** -0.5)
+            scores = jnp.where(mask, -jnp.inf, scores)
+            probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+        def fb(fn):
+            def loss(*args):
+                return (fn(*args).astype(jnp.float32) ** 2).mean()
+
+            return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+
+        variants = {
+            "full (fp32 scores)": dict(),
+            "no rel_shift": dict(shift=False),
+            "no matrix_bd": dict(with_bd=False),
+            "bf16 score accum": dict(score_dtype=jnp.bfloat16),
+        }
+        for tag, kw in variants.items():
+            fwd = jax.jit(functools.partial(attn_core, **kw))
+            bwd = fb(functools.partial(attn_core, **kw))
+            report(f"{tag} fwd", bench(fwd, q, k, v, p))
+            report(f"{tag} fwd+bwd", bench(bwd, q, k, v, p))
+
+    # ---------------------------------------------------------- rel_shift
+    if "rel_shift" in sections:
+        from liteasr_tpu.nets.attention import rel_shift
+
+        print("[rel_shift]  (B,H,T,T) fp32", flush=True)
+        x = f32(B, H, T, T)
+
+        fwd = jax.jit(rel_shift)
+        bwd = jax.jit(jax.grad(lambda x: (rel_shift(x) ** 2).mean()))
+        report("rel_shift fwd", bench(fwd, x))
+        report("rel_shift fwd+bwd", bench(bwd, x))
+
+    # ---------------------------------------------------------------- bn
+    if "bn" in sections:
+        import flax.linen as nn
+
+        print(f"[bn]  (B,T,C) = ({B},{T},{C}) bf16 in, fp32 norm, x12",
+              flush=True)
+        x = bf16(B, T, C)
+
+        bnm = nn.BatchNorm(use_running_average=False, dtype=jnp.float32)
+        vs = bnm.init(jax.random.PRNGKey(0), x)
+
+        @jax.jit
+        def flax_fwd(vs, x):
+            return bnm.apply(vs, x, mutable=["batch_stats"])
+
+        @jax.jit
+        def flax_fb(vs, x):
+            def loss(p):
+                y, _ = bnm.apply(dict(vs, params=p), x,
+                                 mutable=["batch_stats"])
+                return (y.astype(jnp.float32) ** 2).mean()
+
+            return jax.grad(loss)(vs["params"])
+
+        report("flax BN fwd", bench(flax_fwd, vs, x))
+        report("flax BN fwd+bwd", bench(flax_fb, vs, x))
+
+        # candidate: single-pass stats, hand-written vjp
+        from liteasr_tpu.ops.batch_norm import train_batch_norm
+
+        g = jnp.ones((C,), jnp.float32)
+        b = jnp.zeros((C,), jnp.float32)
+
+        @jax.jit
+        def cand_fwd(x, g, b):
+            return train_batch_norm(x, g, b)[0]
+
+        @jax.jit
+        def cand_fb(x, g, b):
+            def loss(g, b):
+                y, _, _ = train_batch_norm(x, g, b)
+                return (y.astype(jnp.float32) ** 2).mean()
+
+            return jax.grad(loss, argnums=(0, 1))(g, b)
+
+        report("custom BN fwd", bench(cand_fwd, x, g, b))
+        report("custom BN fwd+bwd", bench(cand_fb, x, g, b))
+
+    # -------------------------------------------------------------- conv
+    if "conv" in sections:
+        from liteasr_tpu.nets.layers import ConformerConvolution
+
+        print(f"[conv]  conv module (B,T,C) = ({B},{T},{C}), x12", flush=True)
+        x = bf16(B, T, C)
+        mod = ConformerConvolution(dtype=jnp.bfloat16)
+        vs = mod.init(jax.random.PRNGKey(0), x, train=False)
+
+        @jax.jit
+        def conv_fb(vs, x):
+            def loss(p):
+                y, _ = mod.apply(dict(vs, params=p), x, train=True,
+                                 mutable=["batch_stats"])
+                return (y.astype(jnp.float32) ** 2).mean()
+
+            return jax.grad(loss)(vs["params"])
+
+        report("conv module fwd+bwd", bench(conv_fb, vs, x))
+
+    # --------------------------------------------------------------- opt
+    if "opt" in sections:
+        from liteasr_tpu.config.core import DotDict
+        from liteasr_tpu.optims import build_optimizer_cls
+        from liteasr_tpu.trainer import build_tx
+
+        print("[opt]  flagship-sized pytree, clip 5.0, accum 1", flush=True)
+        leaves = {}
+        for i in range(12):
+            for nm, shape in (("qkv", (C, 3 * C)), ("o", (C, C)),
+                              ("ff1", (C, 2048)), ("ff2", (2048, C)),
+                              ("ff3", (C, 2048)), ("ff4", (2048, C)),
+                              ("conv1", (C, 2 * C)), ("conv2", (C, C)),
+                              ("dw", (15, 1, C)), ("ln1", (C,)),
+                              ("ln2", (C,)), ("ln3", (C,))):
+                leaves[f"l{i}_{nm}"] = f32(*shape)
+        for nm, shape in (("embed", (5000, C)), ("head", (C, 5000))):
+            leaves[nm] = f32(*shape)
+        n = sum(l.size for l in leaves.values())
+        print(f"  ({n/1e6:.1f}M params)", flush=True)
+        grads = jax.tree.map(lambda p: p * 0.01, leaves)
+
+        class _Opt:
+            pass
+
+        from liteasr_tpu.optims.noam import Noam, NoamConfig
+
+        ocfg = NoamConfig()
+        opt = Noam.build_optimizer(ocfg)
+        ncfg = DotDict({"clip_grad_norm": 5.0, "accum_grad": 1})
+
+        for flat in (True, False):
+            tx = build_tx(opt, ncfg, flat=flat)
+            state = jax.jit(tx.init)(leaves)
+
+            @jax.jit
+            def step(g, s, p, tx=tx):
+                import optax
+
+                u, s2 = tx.update(g, s, p)
+                return optax.apply_updates(p, u), s2
+
+            report(f"optax chain flat={flat}", bench(step, grads, state,
+                                                     leaves))
+
+        from liteasr_tpu.optims.fused_step import fused_adam_step
+
+        mu = jax.tree.map(jnp.zeros_like, leaves)
+        nu = jax.tree.map(jnp.zeros_like, leaves)
+        cnt = jnp.zeros((), jnp.int32)
+
+        from liteasr_tpu.optims.noam import noam_schedule
+
+        sched = noam_schedule(ocfg.model_dim, ocfg.factor, ocfg.warmup)
+
+        @jax.jit
+        def fstep(p, g, mu, nu, cnt):
+            return fused_adam_step(p, g, mu, nu, cnt, schedule=sched,
+                                   b1=ocfg.beta1, b2=ocfg.beta2,
+                                   eps=ocfg.eps, clip=5.0)
+
+        report("fused per-leaf candidate", bench(fstep, leaves, grads, mu,
+                                                 nu, cnt))
+
+
+if __name__ == "__main__":
+    main()
