@@ -31,8 +31,13 @@ logger = logging.getLogger("liteasr_tpu.infer")
 
 
 def infer_dataset(task, model, variables, dataset, infer_cfg,
-                  pad_time_multiple: int = 128, verbose: bool = True):
+                  pad_time_multiple: int = 128, verbose: bool = True,
+                  collect=None):
     """Decode one test set in device batches; returns (total_err, total_len).
+
+    ``collect``: optional list that receives ``(ref, hyp)`` text pairs in
+    decode order (length-sorted, deterministic) — the input to
+    ``tools/score_ci.py``'s bootstrap confidence intervals.
 
     Multi-chip: batch rows are padded to a multiple of the mesh's ``dp``
     degree and placed with a row sharding, so the compiled beam-search
@@ -108,6 +113,8 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
         for a, hyp_ids in zip(chunk, hyps):
             hyp = task.ids_to_text(hyp_ids)
             ref = a.text
+            if collect is not None:
+                collect.append((ref, hyp))
             err = levenshtein(ref, hyp)
             total_err += err
             total_len += len(ref)
@@ -131,13 +138,22 @@ def infer(cfg):
     variables = load_ckpt(cfg.inference)
 
     results = []
-    for test_set in task.dataset("test"):
+    dump = cfg.inference.get("dump")
+    for si, test_set in enumerate(task.dataset("test")):
+        pairs = [] if dump else None
         err, length = infer_dataset(
             task, model, variables, test_set, cfg.inference,
-            pad_time_multiple=cfg.dataset.get("pad_time_multiple", 128))
+            pad_time_multiple=cfg.dataset.get("pad_time_multiple", 128),
+            collect=pairs)
         results.append((err, length))
         logger.info("Error rate: %d / %d = %.2f%%",
                     err, length, 100.0 * err / max(length, 1))
+        if dump:
+            path = str(dump) if si == 0 else f"{dump}.{si}"
+            with open(path, "w") as f:
+                for i, (ref, hyp) in enumerate(pairs):
+                    f.write(f"{i}\t{ref}\t{hyp}\n")
+            logger.info("dumped %d ref/hyp pairs to %s", len(pairs), path)
     return results
 
 
