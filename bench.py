@@ -131,8 +131,8 @@ def main():
                 warmup=25000), None)
     # accum_grad=2 matches the documented operating point (BASELINE.md);
     # each measured iteration is one micro-batch of B utterances
-    tx = build_tx(optimizer, DotDict(accum_grad=2, clip_grad_norm=5.0),
-                  flat=True)
+    tx = build_tx(optimizer, DotDict(accum_grad=2, clip_grad_norm=5.0,
+                                     fused_step=True), flat=True)
 
     mesh = get_mesh(dp=-1, tp=1)
     repl, bsh = replicated_sharding(mesh), batch_sharding(mesh)
@@ -173,8 +173,13 @@ def main():
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        if hasattr(tx, "apply"):  # FusedTx (optimization.fused_step)
+            new_params, new_opt = tx.apply(grads, state.opt_state,
+                                           state.params)
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
         new_stats = aux.get("model_state", {}).get(
             "batch_stats", state.batch_stats)
         return TrainState(step=state.step + 1, params=new_params,

@@ -139,6 +139,11 @@ class OptimizationConfig(LiteasrDataclass):
     accum_grad: int = 1
     clip_grad_norm: float = 0.0
     dtype: str = "bfloat16"  # compute dtype inside the train step
+    # fused clip+NaN-skip+Adam+apply in one elementwise pass per leaf
+    # (optims/fused_step.FusedTx; tp == 1, non-amsgrad only). The optimizer
+    # state layout differs from the optax chain, so a run must keep the
+    # same setting across resume.
+    fused_step: bool = False
 
 
 @dataclass

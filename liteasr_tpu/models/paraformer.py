@@ -53,6 +53,10 @@ class ParaformerConfig(LiteasrDataclass):
     # valid loss tracks the honest pure-CIF decode quality that N-best
     # checkpoint selection needs.
     glance_at_eval: bool = True
+    # CIF path: None = size heuristic, False = lax.scan, True = closed-form
+    # (see nets/paraformer.Predictor: the dense graph compiles slowly on the
+    # remote-compile TPU tunnel; pass false for tunnel training runs).
+    dense_cif: Optional[bool] = None
 
     vocab_size: int = MISSING
     dec_dim: int = 256
@@ -88,6 +92,7 @@ class Paraformer(LiteasrModel):
     sample_ratio_end: Optional[float] = None
     sample_ratio_decay_steps: int = 0
     glance_at_eval: bool = True
+    dense_cif: Optional[bool] = None
     dec_dim: int = 256
     dec_ff_dim: int = 2048
     dec_attn_heads: int = 4
@@ -131,7 +136,8 @@ class Paraformer(LiteasrModel):
         )
         self.embed = nn.Embed(self.vocab_size, self.dec_dim, dtype=self.dtype)
         self.pe = PositionalEncoding(self.pos_dropout_rate, dtype=self.dtype)
-        self.predictor = Predictor(dtype=self.dtype)
+        self.predictor = Predictor(dtype=self.dtype,
+                                   dense_cif=self.dense_cif)
 
     def _glance_ratio(self, train: bool, step):
         """Effective glancing ratio: scheduled during training, honest-or-

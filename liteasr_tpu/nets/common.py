@@ -15,13 +15,30 @@ import jax.numpy as jnp
 LN_EPS = 1e-12  # reference liteasr/nets/layer_norm.py:10
 
 
+class _FusedLN(nn.Module):
+    """Same parameter names/shapes as ``nn.LayerNorm`` (scale, bias) with
+    the closed-form-VJP kernel from ops/layer_norm.py."""
+
+    @nn.compact
+    def __call__(self, x):
+        from liteasr_tpu.ops.layer_norm import fused_layer_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return fused_layer_norm(x, scale, bias, LN_EPS)
+
+
 class LayerNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    fused: bool = True  # closed-form VJP (ops/layer_norm.py)
 
     @nn.compact
     def __call__(self, x):
         # normalize in fp32 for stability (Fp32LayerNorm semantics,
         # liteasr/nets/layer_norm.py:32-44), cast back to compute dtype
+        if self.fused:
+            return _FusedLN(name="ln")(x).astype(self.dtype)
         y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln")(
             x.astype(jnp.float32))
         return y.astype(self.dtype)

@@ -12,10 +12,45 @@ FF x0.5 -> final LN, same toggle).
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from liteasr_tpu.nets.attention import MultiHeadAttention, RelativeMultiHeadAttention
 from liteasr_tpu.nets.common import LayerNorm, PositionwiseFeedForward, get_activation
+
+
+class FusedBatchNorm(nn.Module):
+    """Drop-in for ``nn.BatchNorm`` with the single-pass custom-VJP train
+    kernel (ops/batch_norm.py). Identical parameter/collection names
+    (params: scale/bias, batch_stats: mean/var), so checkpoints are
+    interchangeable with the flax module.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        from liteasr_tpu.ops.batch_norm import train_batch_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if use_running_average:
+            x32 = x.astype(jnp.float32)
+            y = (x32 - ra_mean.value) * jax.lax.rsqrt(
+                ra_var.value + self.epsilon) * scale + bias
+            return y.astype(x.dtype)
+        y, mean, var = train_batch_norm(x, scale, bias, self.epsilon)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * var
+        return y
 
 
 class ConformerConvolution(nn.Module):
@@ -30,6 +65,7 @@ class ConformerConvolution(nn.Module):
     kernel_size: int = 15
     activation: str = "swish"
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = True  # single-pass custom-VJP BN (ops/batch_norm.py)
 
     def _depthwise(self, x):
         """Depthwise conv as K shifted multiply-adds (pure VPU ops).
@@ -62,8 +98,11 @@ class ConformerConvolution(nn.Module):
         x = nn.Dense(2 * channels, dtype=self.dtype, name="pointwise_conv1")(x)
         x = nn.glu(x, axis=-1)
         x = self._depthwise(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="norm")(x)
+        if self.fused_bn:
+            x = FusedBatchNorm(name="norm")(x, use_running_average=not train)
+        else:
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=jnp.float32, name="norm")(x)
         x = get_activation(self.activation)(x.astype(self.dtype))
         return nn.Dense(channels, dtype=self.dtype, name="pointwise_conv2")(x)
 

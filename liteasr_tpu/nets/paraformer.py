@@ -137,9 +137,19 @@ class Predictor(nn.Module):
     The integration itself is the closed-form :func:`cif_dense` (cumsum +
     cummin + one batched matmul) whenever the (U, T) weight matrix is small
     enough, with the :func:`cif_scan` fallback for very long sequences.
+
+    ``dense_cif``: None = the size heuristic above; True/False forces a
+    path. MEASURED (round 3): the dense train graph XLA-compiles in ~136 s
+    on CPU but ~52 min through the remote-compile TPU tunnel (vs ~20 min
+    for the scan graph); once compiled it trains normally. With a warm
+    compile cache prefer dense; for one-off runs on a cold cache
+    ``model.dense_cif=false`` trades step speed for compile latency. The
+    two paths are parity-tested, values AND gradients
+    (tests/test_paraformer.py).
     """
 
     dtype: jnp.dtype = jnp.float32
+    dense_cif: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -174,10 +184,9 @@ class Predictor(nn.Module):
         beta = sum_alpha / ulens - 1e-4  # prevent precision error
 
         xs32 = xs.astype(jnp.float32)
-        if U * T <= _DENSE_CIF_MAX_CELLS:
-            buf = cif_dense(alpha, xs32, beta, U)
-        else:
-            buf = cif_scan(alpha, xs32, beta, U)
+        dense = (U * T <= _DENSE_CIF_MAX_CELLS if self.dense_cif is None
+                 else self.dense_cif)
+        buf = (cif_dense if dense else cif_scan)(alpha, xs32, beta, U)
         return buf.astype(self.dtype), sum_alpha
 
 

@@ -188,7 +188,11 @@ def _attn_kernel(refs, o_ref, lse_ref=None, *, scale: float,
     p_ref = rest.pop(0) if has_rel else None
     seed_ref = rest.pop(0) if dropout_rate > 0.0 else None
 
-    q = q_ref[0].astype(jnp.float32)  # (TQ, D)
+    # matmul operands stay in the input dtype (bf16 at the operating point):
+    # fp32 MXU passes run at a fraction of bf16 rate and were the reason the
+    # kernel lost to XLA (whose einsums also take bf16 operands with fp32
+    # accumulation). All score/softmax math remains fp32.
+    q = q_ref[0]  # (TQ, D)
     d = q.shape[1]
 
     qs = pl.program_id(1) * tq  # global start of this query tile
@@ -199,14 +203,14 @@ def _attn_kernel(refs, o_ref, lse_ref=None, *, scale: float,
     seed_val = seed_ref[0, 0] if dropout_rate > 0.0 else None
 
     if has_rel:
-        qv = qv_ref[0, pl.ds(qs, tq + 1), :].astype(jnp.float32)
-        p = p_ref[0].astype(jnp.float32)  # (Tp, D)
+        qv = qv_ref[0, pl.ds(qs, tq + 1), :]
+        p = p_ref[0]  # (Tp, D)
         bd_full = _bd_full(qv, p, qs, tq, t_real, interpret=interpret)
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * tk, tk), :].astype(jnp.float32)  # (TK, D)
-        v = v_ref[0, pl.ds(i * tk, tk), :].astype(jnp.float32)  # (TK, D)
+        k = k_ref[0, pl.ds(i * tk, tk), :]  # (TK, D)
+        v = v_ref[0, pl.ds(i * tk, tk), :]  # (TK, D)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (TQ, TK)
@@ -241,7 +245,7 @@ def _attn_kernel(refs, o_ref, lse_ref=None, *, scale: float,
                                  dropout_rate)
             p_v = jnp.where(keep, p_, 0.0)
         acc = acc * alpha + jax.lax.dot_general(
-            p_v, v, (((1,), (0,)), ((), ())),
+            p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
@@ -568,9 +572,11 @@ def _bwd_kernel(q_ref, qv_ref, k_ref, v_ref, p_ref, do_ref, o_ref, lse_ref,
     seed_val = seed_ref[0, 0] if dropout_rate > 0.0 else None
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
-    k_all = k_ref[0].astype(jnp.float32)      # (TKp, D)
-    v_all = v_ref[0].astype(jnp.float32)
-    p_tab = p_ref[0].astype(jnp.float32)      # (W, D)
+    # bf16 matmul operands / fp32 accumulation — see _attn_kernel note
+    k_all = k_ref[0]                          # (TKp, D)
+    v_all = v_ref[0]
+    p_tab = p_ref[0]                          # (W, D)
+    in_dt = k_all.dtype
     d = k_all.shape[1]
     W = p_tab.shape[0]
     tkp = num_k_tiles * tk
@@ -583,12 +589,14 @@ def _bwd_kernel(q_ref, qv_ref, k_ref, v_ref, p_ref, do_ref, o_ref, lse_ref,
 
     for i in range(num_q_tiles):
         qs = i * tq
-        q = q_ref[0, pl.ds(qs, tq), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qs, tq), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qs, tq), :].astype(in_dt)
+        do = do_ref[0, pl.ds(qs, tq), :]  # fp32 from the loss
+        do_b = do.astype(in_dt)
         o = o_ref[0, pl.ds(qs, tq), :].astype(jnp.float32)
         lse_t = lse_ref[0, pl.ds(qs, tq), :]  # (tq, 128) lane-broadcast
-        qv = qv_ref[0, pl.ds(qs, tq + 1), :].astype(jnp.float32)
-        dvec = jnp.sum(do * o, axis=1, keepdims=True)  # (tq, 1)
+        qv = qv_ref[0, pl.ds(qs, tq + 1), :]
+        dvec = jnp.sum(do.astype(jnp.float32) * o, axis=1,
+                       keepdims=True)  # (tq, 1)
 
         bd_full = _bd_full(qv, p_tab, qs, tq, t_real, interpret=interpret)
 
@@ -609,7 +617,7 @@ def _bwd_kernel(q_ref, qv_ref, k_ref, v_ref, p_ref, do_ref, o_ref, lse_ref,
 
             a = _safe_probs(s, lse_t, tk)  # undropped probs
             dp_ = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())),
+                do_b, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (tq, tk)
             if dropout_rate > 0.0:
                 keep = _dropout_keep(tq, tk, b_id, i, j, seed_val,
@@ -620,27 +628,29 @@ def _bwd_kernel(q_ref, qv_ref, k_ref, v_ref, p_ref, do_ref, o_ref, lse_ref,
                 a_v, dp_eff = a, dp_
             ds = a * (dp_eff - dvec) * scale
 
+            ds_b = ds.astype(in_dt)
             dv_seg = jax.lax.dot_general(
-                a_v, do, (((0,), (0,)), ((), ())),
+                a_v.astype(in_dt), do_b, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dk_seg = jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
+                ds_b, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dv_acc = dv_acc + _pad_rows(dv_seg, ks, tkp - ks - tk)
             dk_acc = dk_acc + _pad_rows(dk_seg, ks, tkp - ks - tk)
 
             dq_acc = dq_acc + jax.lax.dot_general(
-                ds, k, (((1,), (0,)), ((), ())),
+                ds_b, k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dB_parts.append(ds)
 
         dB_full = jnp.concatenate(dB_parts, axis=1)  # (tq, W)
         dR = _dbd_to_dR(dB_full, qs, t_real, interpret=interpret)
+        dR_b = dR.astype(in_dt)
         dqv_tile = jax.lax.dot_general(
-            dR, p_tab, (((1,), (0,)), ((), ())),
+            dR_b, p_tab, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (tq+1, D)
         dp_acc = dp_acc + jax.lax.dot_general(
-            dR, qv, (((0,), (0,)), ((), ())),
+            dR_b, qv, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (W, D)
 
         dq_rows.append(dq_acc)

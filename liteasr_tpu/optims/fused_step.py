@@ -28,8 +28,77 @@ import jax.numpy as jnp
 class FusedAdamState(NamedTuple):
     count: jnp.ndarray           # optimizer steps actually applied
     notfinite_count: jnp.ndarray
+    mini_step: jnp.ndarray       # micro-step index within accum_grad
+    acc: dict                    # gradient accumulator (param-shaped)
     mu: dict
     nu: dict
+
+
+class FusedTx:
+    """Drop-in optimizer path for the Trainer: ``apply(grads, state,
+    params) -> (new_params, new_state)`` replaces the optax
+    ``tx.update`` + ``optax.apply_updates`` pair so the parameter write
+    happens in the same fused pass as the moment updates.
+
+    Opt-in via ``optimization.fused_step=true`` (tp == 1 only): the state
+    layout differs from the optax flat chain, so runs started without the
+    flag must resume without it. Gradient accumulation follows
+    trainer.accumulate_every_k: hold steps only add into the accumulator,
+    the emitting step feeds the MEAN of the k micro-batch gradients.
+    """
+
+    def __init__(self, schedule, b1, b2, eps, clip=0.0, weight_decay=0.0,
+                 accum=1):
+        self.schedule = schedule
+        self.b1, self.b2, self.eps = b1, b2, eps
+        self.clip = float(clip or 0.0)
+        self.weight_decay = float(weight_decay or 0.0)
+        self.accum = max(int(accum), 1)
+
+    def init(self, params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return FusedAdamState(
+            count=jnp.zeros((), jnp.int32),
+            notfinite_count=jnp.zeros((), jnp.int32),
+            mini_step=jnp.zeros((), jnp.int32),
+            acc=zeros(), mu=zeros(), nu=zeros())
+
+    def apply(self, grads, state, params):
+        def run(params, g, mu, nu, count, nf):
+            p2, mu2, nu2, count2, finite = fused_adam_step(
+                params, g, mu, nu, count, schedule=self.schedule,
+                b1=self.b1, b2=self.b2, eps=self.eps, clip=self.clip,
+                weight_decay=self.weight_decay)
+            nf2 = nf + (1 - finite.astype(jnp.int32))
+            return p2, mu2, nu2, count2, nf2
+
+        if self.accum == 1:
+            p2, mu2, nu2, count2, nf2 = run(
+                params, grads, state.mu, state.nu, state.count,
+                state.notfinite_count)
+            return p2, FusedAdamState(
+                count=count2, notfinite_count=nf2,
+                mini_step=state.mini_step, acc=state.acc, mu=mu2, nu=nu2)
+
+        acc = jax.tree.map(jnp.add, state.acc, grads)
+
+        def do_apply(params, acc, mu, nu, count, nf):
+            mean = jax.tree.map(lambda g: g / self.accum, acc)
+            p2, mu2, nu2, count2, nf2 = run(params, mean, mu, nu, count, nf)
+            return p2, jax.tree.map(jnp.zeros_like, acc), mu2, nu2, \
+                count2, nf2
+
+        def hold(params, acc, mu, nu, count, nf):
+            return params, acc, mu, nu, count, nf
+
+        p2, acc2, mu2, nu2, count2, nf2 = jax.lax.cond(
+            state.mini_step == self.accum - 1, do_apply, hold,
+            params, acc, state.mu, state.nu, state.count,
+            state.notfinite_count)
+        return p2, FusedAdamState(
+            count=count2, notfinite_count=nf2,
+            mini_step=(state.mini_step + 1) % self.accum,
+            acc=acc2, mu=mu2, nu=nu2)
 
 
 def fused_adam_step(params, grads, mu, nu, count, *, schedule, b1, b2, eps,

@@ -104,8 +104,24 @@ def build_tx(optimizer, optimization_cfg,
     optimizer state is replicated — the Trainer enables it iff tp == 1
     (a flat buffer cannot carry per-leaf tensor-parallel shardings).
     """
-    parts = []
     clip = float(optimization_cfg.clip_grad_norm or 0.0)
+    accum = int(optimization_cfg.accum_grad or 1)
+
+    if flat and optimization_cfg.get("fused_step"):
+        from liteasr_tpu.optims.fused_step import FusedTx
+
+        ocfg = optimizer.cfg
+        if not ocfg.get("amsgrad"):
+            schedule = optimizer.schedule or (
+                lambda s: jnp.full((), float(ocfg.lr), jnp.float32))
+            return FusedTx(schedule, b1=ocfg.beta1, b2=ocfg.beta2,
+                           eps=ocfg.eps, clip=clip,
+                           weight_decay=ocfg.get("weight_decay", 0.0),
+                           accum=accum)
+        logger.warning("fused_step requested but amsgrad has no fused "
+                       "path; using the optax chain")
+
+    parts = []
     if clip > 0:
         parts.append(optax.clip_by_global_norm(clip))
     parts.append(optimizer.tx)
@@ -113,7 +129,6 @@ def build_tx(optimizer, optimization_cfg,
         optax.chain(*parts), max_consecutive_errors=10 ** 8)
     if flat:
         inner = optax.flatten(inner)
-    accum = int(optimization_cfg.accum_grad or 1)
     if accum > 1:
         return accumulate_every_k(inner, accum)
     return inner
@@ -239,9 +254,13 @@ class Trainer:
 
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            updates, new_opt_state = self.tx.update(
-                grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            if hasattr(self.tx, "apply"):  # FusedTx: one fused pass
+                new_params, new_opt_state = self.tx.apply(
+                    grads, state.opt_state, state.params)
+            else:
+                updates, new_opt_state = self.tx.update(
+                    grads, state.opt_state, state.params)
+                new_params = optax.apply_updates(state.params, updates)
             new_stats = aux.get("model_state", {}).get(
                 "batch_stats", state.batch_stats)
             new_state = TrainState(

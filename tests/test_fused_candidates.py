@@ -69,6 +69,80 @@ class TestBatchNorm:
                                        atol=2e-4)
 
 
+class TestLayerNormParity:
+    def test_values_and_grads_match_flax(self):
+        from liteasr_tpu.nets.common import LN_EPS
+        from liteasr_tpu.ops.layer_norm import fused_layer_norm
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(5, 13, 24)) * 3, jnp.float32)
+        gamma = jnp.asarray(rng.normal(size=(24,)) + 1.0, jnp.float32)
+        beta = jnp.asarray(rng.normal(size=(24,)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+        ln = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
+
+        def ref_loss(x, gamma, beta):
+            y = ln.apply({"params": {"scale": gamma, "bias": beta}}, x)
+            return jnp.sum(y * w)
+
+        def cand_loss(x, gamma, beta):
+            return jnp.sum(fused_layer_norm(x, gamma, beta, LN_EPS) * w)
+
+        np.testing.assert_allclose(
+            np.asarray(fused_layer_norm(x, gamma, beta, LN_EPS)),
+            np.asarray(ln.apply(
+                {"params": {"scale": gamma, "bias": beta}}, x)), atol=1e-5)
+        ref = jax.grad(ref_loss, argnums=(0, 1, 2))(x, gamma, beta)
+        got = jax.grad(cand_loss, argnums=(0, 1, 2))(x, gamma, beta)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=3e-4)
+
+    def test_wrapper_param_path_unchanged(self):
+        from liteasr_tpu.nets.common import LayerNorm
+
+        x = jnp.ones((2, 3, 8), jnp.float32)
+        vs_f = LayerNorm(fused=True).init(jax.random.PRNGKey(0), x)
+        vs_r = LayerNorm(fused=False).init(jax.random.PRNGKey(0), x)
+        assert jax.tree.structure(vs_f) == jax.tree.structure(vs_r)
+        y_f = LayerNorm(fused=True).apply(vs_f, x)
+        y_r = LayerNorm(fused=False).apply(vs_f, x)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                                   atol=1e-6)
+
+
+class TestConvModuleParity:
+    def test_fused_bn_matches_flax_in_conv_module(self):
+        from liteasr_tpu.nets.layers import ConformerConvolution
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(4, 11, 16)), jnp.float32)
+        fused = ConformerConvolution(dtype=jnp.float32, fused_bn=True)
+        flax_m = ConformerConvolution(dtype=jnp.float32, fused_bn=False)
+        vs = fused.init(jax.random.PRNGKey(0), x, train=False)
+        # identical param trees: flax module must accept the fused init
+        y_f, st_f = fused.apply(vs, x, train=True, mutable=["batch_stats"])
+        y_r, st_r = flax_m.apply(vs, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                                   atol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5),
+            st_f["batch_stats"], st_r["batch_stats"])
+
+        def loss(params, mod):
+            y, _ = mod.apply(dict(vs, params=params), x, train=True,
+                             mutable=["batch_stats"])
+            return (y ** 2).mean()
+
+        g_f = jax.grad(loss)(vs["params"], fused)
+        g_r = jax.grad(loss)(vs["params"], flax_m)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5),
+            g_f, g_r)
+
+
 class TestFusedAdam:
     def _setup(self):
         from liteasr_tpu.optims.noam import noam_schedule
@@ -121,6 +195,46 @@ class TestFusedAdam:
                     np.asarray(b), np.asarray(a), atol=1e-6,
                     err_msg=f"step {step} leaf {kp}")
         assert int(cnt) == 5  # one skipped step
+
+    def test_fused_tx_matches_build_tx_with_accum(self):
+        """FusedTx (trainer opt-in path) == the optax flat chain over a
+        mixed stream: normal, clipped, and NaN micro-batches at accum 2."""
+        import optax
+
+        from liteasr_tpu.config.core import DotDict
+        from liteasr_tpu.optims.fused_step import FusedTx
+        from liteasr_tpu.optims.noam import Noam, NoamConfig
+        from liteasr_tpu.trainer import build_tx
+
+        rng = np.random.default_rng(5)
+        params = {"w": jnp.asarray(rng.normal(size=(9, 4)), jnp.float32),
+                  "b": jnp.asarray(rng.normal(size=(4,)), jnp.float32)}
+        ocfg = NoamConfig()
+        ocfg.warmup = 5
+        ocfg.factor = 3.0
+        opt = Noam.build_optimizer(ocfg)
+        ncfg = DotDict({"clip_grad_norm": 2.0, "accum_grad": 2,
+                        "fused_step": False})
+        ref_tx = build_tx(opt, ncfg, flat=True)
+        fused = FusedTx(opt.schedule, b1=ocfg.beta1, b2=ocfg.beta2,
+                        eps=ocfg.eps, clip=2.0, accum=2)
+
+        p_ref, s_ref = dict(params), ref_tx.init(params)
+        p_f, s_f = dict(params), fused.init(params)
+        for i in range(8):
+            scale = 30.0 if i in (2, 3) else 0.3
+            g = jax.tree.map(
+                lambda p: jnp.asarray(rng.normal(size=p.shape) * scale,
+                                      jnp.float32), params)
+            if i == 5:
+                g["w"] = g["w"].at[0, 0].set(jnp.nan)
+            u, s_ref = ref_tx.update(g, s_ref, p_ref)
+            p_ref = optax.apply_updates(p_ref, u)
+            p_f, s_f = fused.apply(g, s_f, p_f)
+            for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_f)):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           atol=1e-6,
+                                           err_msg=f"micro-step {i}")
 
     def test_nan_does_not_poison_state(self):
         from liteasr_tpu.optims.fused_step import fused_adam_step

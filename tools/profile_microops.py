@@ -54,8 +54,8 @@ def main():
     enable_compile_cache()
     jax.config.update("jax_default_prng_impl", "rbg")
 
-    sections = set(sys.argv[1:]) or {"attention", "rel_shift", "bn", "conv",
-                                     "opt"}
+    sections = set(sys.argv[1:]) or {"attention", "flash", "rel_shift",
+                                     "bn", "ln", "conv", "opt"}
     rng = np.random.default_rng(0)
 
     def f32(*shape):
@@ -113,6 +113,43 @@ def main():
             bwd = fb(functools.partial(attn_core, **kw))
             report(f"{tag} fwd", bench(fwd, q, k, v, p))
             report(f"{tag} fwd+bwd", bench(bwd, q, k, v, p))
+
+    # -------------------------------------------------------------- flash
+    if "flash" in sections:
+        from liteasr_tpu.nets.attention import rel_shift
+        from liteasr_tpu.ops.flash_attention import flash_rel_attention_train
+
+        print("[flash]  fused train kernel vs XLA rel path, "
+              f"(BH,T,D)=({B*H},{T},{DK})", flush=True)
+        qu = bf16(B * H, T, DK)
+        qv = bf16(B * H, T, DK)
+        k = bf16(B * H, T, DK)
+        v = bf16(B * H, T, DK)
+        p = bf16(B * H, T, DK)  # per-bh broadcast table, as the caller folds
+        kv_lens = jnp.full((B * H,), T, jnp.int32)
+        seed = jnp.zeros((), jnp.int32)
+
+        def xla_rel(qu, qv, k, v, p):
+            bd = jnp.einsum("bqd,bkd->bqk", qv, p,
+                            preferred_element_type=jnp.float32)
+            bd = rel_shift(bd[:, None])[:, 0]
+            ac = jnp.einsum("bqd,bkd->bqk", qu, k,
+                            preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax((ac + bd) * (DK ** -0.5), axis=-1)
+            return jnp.einsum("bqk,bkd->bqd", probs.astype(v.dtype), v)
+
+        def fb(fn):
+            def loss(*a):
+                return (fn(*a).astype(jnp.float32) ** 2).mean()
+
+            return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+
+        flash_fn = lambda qu, qv, k, v, p: flash_rel_attention_train(
+            qu, qv, k, v, p, kv_lens, seed, DK ** -0.5, 0.0, False)
+        report("xla rel fwd", bench(jax.jit(xla_rel), qu, qv, k, v, p))
+        report("xla rel fwd+bwd", bench(fb(xla_rel), qu, qv, k, v, p))
+        report("flash train fwd", bench(jax.jit(flash_fn), qu, qv, k, v, p))
+        report("flash train fwd+bwd", bench(fb(flash_fn), qu, qv, k, v, p))
 
     # ---------------------------------------------------------- rel_shift
     if "rel_shift" in sections:
@@ -173,6 +210,41 @@ def main():
 
         report("custom BN fwd", bench(cand_fwd, x, g, b))
         report("custom BN fwd+bwd", bench(cand_fb, x, g, b))
+
+    # ---------------------------------------------------------------- ln
+    if "ln" in sections:
+        import flax.linen as nn
+
+        from liteasr_tpu.nets.common import LN_EPS
+        from liteasr_tpu.ops.layer_norm import fused_layer_norm
+
+        print(f"[ln]  (B,T,C) = ({B},{T},{C}) bf16, ~60 applications/step",
+              flush=True)
+        x = bf16(B, T, C)
+        g = jnp.ones((C,), jnp.float32)
+        b2 = jnp.zeros((C,), jnp.float32)
+        ln = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
+        vs = {"params": {"scale": g, "bias": b2}}
+
+        @jax.jit
+        def flax_fb(x, g, b2):
+            def loss(g, b2):
+                y = ln.apply({"params": {"scale": g, "bias": b2}},
+                             x.astype(jnp.float32))
+                return (y ** 2).mean()
+
+            return jax.grad(loss, argnums=(0, 1))(g, b2)
+
+        @jax.jit
+        def cand_fb(x, g, b2):
+            def loss(g, b2):
+                y = fused_layer_norm(x, g, b2, LN_EPS)
+                return (y.astype(jnp.float32) ** 2).mean()
+
+            return jax.grad(loss, argnums=(0, 1))(g, b2)
+
+        report("flax LN fwd+bwd", bench(flax_fb, x, g, b2))
+        report("fused LN fwd+bwd", bench(cand_fb, x, g, b2))
 
     # -------------------------------------------------------------- conv
     if "conv" in sections:
