@@ -35,8 +35,10 @@ def test_train_cli_subprocess(tiny_corpus, tmp_path):
     # force CPU despite the sitecustomize plugin: strip the axon path
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in env["PYTHONPATH"].split(os.pathsep) if "axon" not in p)
+    # 420 s flaked when concurrent TPU-host processes loaded the single
+    # core; the subprocess itself needs ~2 min unloaded
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                         timeout=420)
+                         timeout=1200)
     assert out.returncode == 0, out.stderr[-2000:]
     assert (tmp_path / "train.log").exists()
     assert (tmp_path / "config.yaml").exists()
