@@ -564,10 +564,22 @@ def _pad_rows(seg, lo, hi):
 
 
 def _bwd_kernel(q_ref, qv_ref, k_ref, v_ref, p_ref, do_ref, o_ref, lse_ref,
-                kvlen_ref, seed_ref, dq_ref, dqv_ref, dk_ref, dv_ref,
-                dp_ref, *, scale, num_q_tiles, num_k_tiles, tq, tk, t_real,
+                kvlen_ref, seed_ref, dq_ref, dqv_ref, dqvx_ref, dk_ref,
+                dv_ref, dp_ref, *, scale, num_k_tiles, tq, tk, t_real,
                 dropout_rate, interpret):
+    """One grid step = one (batch-head, q-tile) pair.
+
+    dk/dv/dp map every q-tile of a batch-head onto the SAME output block
+    (their index_map drops the q index) and accumulate across the
+    sequential grid, so VMEM holds one K/V/P-sized accumulator set instead
+    of the round-2 fully-unrolled num_q_tiles x num_k_tiles loop nest —
+    VMEM and compile time are now linear in sequence length (closes the
+    documented SCALING LIMIT / ADVICE r2 #3). dqv's one-row tile overlap
+    (the rel_shift crossover row) goes to a separate (1, D) output the
+    caller recombines with a scatter-add.
+    """
     b_id = pl.program_id(0)
+    qi = pl.program_id(1)
     kv_len = kvlen_ref[b_id, 0]
     seed_val = seed_ref[0, 0] if dropout_rate > 0.0 else None
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
@@ -578,93 +590,94 @@ def _bwd_kernel(q_ref, qv_ref, k_ref, v_ref, p_ref, do_ref, o_ref, lse_ref,
     p_tab = p_ref[0]                          # (W, D)
     in_dt = k_all.dtype
     d = k_all.shape[1]
-    W = p_tab.shape[0]
     tkp = num_k_tiles * tk
 
+    qs = qi * tq
+    q = q_ref[0].astype(in_dt)                # (tq, D), blocked by qi
+    do = do_ref[0]                            # fp32 from the loss
+    do_b = do.astype(in_dt)
+    o = o_ref[0].astype(jnp.float32)
+    lse_t = lse_ref[0]                        # (tq, 128) lane-broadcast
+    qv = qv_ref[0, pl.ds(qs, tq + 1), :]      # full-rows ref (+1 overlap)
+    dvec = jnp.sum(do.astype(jnp.float32) * o, axis=1, keepdims=True)
+
+    bd_full = _bd_full(qv, p_tab, qs, tq, t_real, interpret=interpret)
+
+    dq_acc = jnp.zeros((tq, d), jnp.float32)
     dk_acc = jnp.zeros((tkp, d), jnp.float32)
     dv_acc = jnp.zeros((tkp, d), jnp.float32)
-    dp_acc = jnp.zeros((W, d), jnp.float32)
-    dq_rows = []
-    dqv_rows = None  # (TQp + 1, D) built by padded adds
+    dB_parts = []
+    for j in range(num_k_tiles):
+        ks = j * tk
+        k = k_all[ks:ks + tk, :]
+        v = v_all[ks:ks + tk, :]
+        bd = bd_full[:, ks:ks + tk]
 
-    for i in range(num_q_tiles):
-        qs = i * tq
-        q = q_ref[0, pl.ds(qs, tq), :].astype(in_dt)
-        do = do_ref[0, pl.ds(qs, tq), :]  # fp32 from the loss
-        do_b = do.astype(in_dt)
-        o = o_ref[0, pl.ds(qs, tq), :].astype(jnp.float32)
-        lse_t = lse_ref[0, pl.ds(qs, tq), :]  # (tq, 128) lane-broadcast
-        qv = qv_ref[0, pl.ds(qs, tq + 1), :]
-        dvec = jnp.sum(do.astype(jnp.float32) * o, axis=1,
-                       keepdims=True)  # (tq, 1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = (s + bd) * scale
+        j_glob = ks + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        s = jnp.where(j_glob >= kv_len, NEG_INF, s)
 
-        bd_full = _bd_full(qv, p_tab, qs, tq, t_real, interpret=interpret)
+        a = _safe_probs(s, lse_t, tk)  # undropped probs
+        dp_ = jax.lax.dot_general(
+            do_b, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (tq, tk)
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(tq, tk, b_id, qi, j, seed_val,
+                                 dropout_rate)
+            a_v = jnp.where(keep, a, 0.0) * inv_keep
+            dp_eff = jnp.where(keep, dp_, 0.0) * inv_keep
+        else:
+            a_v, dp_eff = a, dp_
+        ds = a * (dp_eff - dvec) * scale
 
-        dq_acc = jnp.zeros((tq, d), jnp.float32)
-        dB_parts = []
-        for j in range(num_k_tiles):
-            ks = j * tk
-            k = k_all[ks:ks + tk, :]
-            v = v_all[ks:ks + tk, :]
-            bd = bd_full[:, ks:ks + tk]
+        ds_b = ds.astype(in_dt)
+        dv_seg = jax.lax.dot_general(
+            a_v.astype(in_dt), do_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_seg = jax.lax.dot_general(
+            ds_b, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv_acc = dv_acc + _pad_rows(dv_seg, ks, tkp - ks - tk)
+        dk_acc = dk_acc + _pad_rows(dk_seg, ks, tkp - ks - tk)
 
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s = (s + bd) * scale
-            j_glob = ks + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-            s = jnp.where(j_glob >= kv_len, NEG_INF, s)
+        dq_acc = dq_acc + jax.lax.dot_general(
+            ds_b, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dB_parts.append(ds)
 
-            a = _safe_probs(s, lse_t, tk)  # undropped probs
-            dp_ = jax.lax.dot_general(
-                do_b, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (tq, tk)
-            if dropout_rate > 0.0:
-                keep = _dropout_keep(tq, tk, b_id, i, j, seed_val,
-                                     dropout_rate)
-                a_v = jnp.where(keep, a, 0.0) * inv_keep
-                dp_eff = jnp.where(keep, dp_, 0.0) * inv_keep
-            else:
-                a_v, dp_eff = a, dp_
-            ds = a * (dp_eff - dvec) * scale
+    dB_full = jnp.concatenate(dB_parts, axis=1)  # (tq, W)
+    dR = _dbd_to_dR(dB_full, qs, t_real, interpret=interpret)
+    dR_b = dR.astype(in_dt)
+    dqv_tile = jax.lax.dot_general(
+        dR_b, p_tab, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (tq+1, D)
+    dp_tile = jax.lax.dot_general(
+        dR_b, qv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (W, D)
 
-            ds_b = ds.astype(in_dt)
-            dv_seg = jax.lax.dot_general(
-                a_v.astype(in_dt), do_b, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dk_seg = jax.lax.dot_general(
-                ds_b, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dv_acc = dv_acc + _pad_rows(dv_seg, ks, tkp - ks - tk)
-            dk_acc = dk_acc + _pad_rows(dk_seg, ks, tkp - ks - tk)
+    dq_ref[0] = dq_acc.astype(dq_ref.dtype)
+    dqv_ref[0] = dqv_tile[:-1].astype(dqv_ref.dtype)
+    # 8-row sublane-aligned block (Mosaic min fp32 tile); row 0 is the
+    # crossover row, rows 1-7 are padding the caller ignores
+    dqvx_ref[0] = jnp.broadcast_to(
+        dqv_tile[-1:], (8, dqv_tile.shape[1])).astype(dqvx_ref.dtype)
 
-            dq_acc = dq_acc + jax.lax.dot_general(
-                ds_b, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dB_parts.append(ds)
+    # dk/dv/dp accumulate across the sequential q-tile grid dimension (the
+    # out blocks revisit the same VMEM block for every qi of a batch-head)
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+        dp_ref[0] = dp_tile.astype(dp_ref.dtype)
 
-        dB_full = jnp.concatenate(dB_parts, axis=1)  # (tq, W)
-        dR = _dbd_to_dR(dB_full, qs, t_real, interpret=interpret)
-        dR_b = dR.astype(in_dt)
-        dqv_tile = jax.lax.dot_general(
-            dR_b, p_tab, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (tq+1, D)
-        dp_acc = dp_acc + jax.lax.dot_general(
-            dR_b, qv, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (W, D)
-
-        dq_rows.append(dq_acc)
-        tqp1 = num_q_tiles * tq + 1
-        padded = _pad_rows(dqv_tile, qs, tqp1 - qs - tq - 1)
-        dqv_rows = padded if dqv_rows is None else dqv_rows + padded
-
-    dq_all = dq_rows[0] if len(dq_rows) == 1 \
-        else jnp.concatenate(dq_rows, axis=0)
-    dq_ref[0] = dq_all.astype(dq_ref.dtype)
-    dqv_ref[0] = dqv_rows.astype(dqv_ref.dtype)
-    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
-    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
-    dp_ref[0] = dp_acc.astype(dp_ref.dtype)
+    @pl.when(qi > 0)
+    def _accum():
+        dk_ref[0] += dk_acc.astype(dk_ref.dtype)
+        dv_ref[0] += dv_acc.astype(dv_ref.dtype)
+        dp_ref[0] += dp_tile.astype(dp_ref.dtype)
 
 
 def _flash_rel_bwd_pallas(q_u, qv, k, v, p, kv_lens, out, lse, dout,
@@ -675,13 +688,13 @@ def _flash_rel_bwd_pallas(q_u, qv, k, v, p, kv_lens, out, lse, dout,
 
     ``lse`` may be (BH, Tq) or lane-broadcast (BH, Tq_pad, 128).
 
-    SCALING LIMIT: the kernel fully unrolls the num_q_tiles x num_k_tiles
-    Python loops and keeps K/V plus five gradient accumulators resident in
-    VMEM per batch-head, so compile time and VMEM pressure grow
-    quadratically with sequence length (13x13 tile pairs at T~1600). The
-    path is opt-in (set_flash_train_enabled) and benchmarked at short T;
-    before enabling it by default for long-T training, re-tile the q loop
-    as a grid dimension / fori_loop and stream K/V tiles.
+    The q-tile loop is a grid dimension (grid = (BH, num_q_tiles)): per
+    step the kernel holds K/V/P plus ONE q-tile's working set, with
+    dk/dv/dp accumulated into revisited output blocks — VMEM and compile
+    time are linear in sequence length (the k loop stays an unrolled
+    Python loop of num_k_tiles MXU calls). K/V/P still reside whole in
+    VMEM per batch-head: ~9 MB at T = 3200, d = 128; beyond that the k
+    loop needs HBM streaming.
     """
     bh, t_q, d = q_u.shape
     t_k = k.shape[1]
@@ -714,30 +727,38 @@ def _flash_rel_bwd_pallas(q_u, qv, k, v, p, kv_lens, out, lse, dout,
     num_k_tiles = tk_pad // tk_eff
     f32 = jnp.float32
 
-    def full(rows):
-        return pl.BlockSpec((1, rows, d_pad), lambda b: (b, 0, 0),
+    def per_b(rows):  # one block per batch-head, shared across q-tiles
+        return pl.BlockSpec((1, rows, d_pad), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def per_tile(rows):  # blocked along the q-tile grid dimension
+        return pl.BlockSpec((1, rows, d_pad), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _bwd_kernel, scale=scale, num_q_tiles=num_q_tiles,
+        _bwd_kernel, scale=scale,
         num_k_tiles=num_k_tiles, tq=tq_eff, tk=tk_eff, t_real=t_k,
         dropout_rate=dropout_rate, interpret=interpret)
-    dq, dqv_full, dk, dv, dp_full = pl.pallas_call(
+    dq, dqv_main, dqv_extra, dk, dv, dp_full = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh, num_q_tiles),
         in_specs=[
-            full(tq_pad), full(tq_pad + 1), full(tk_pad), full(tk_pad),
-            full(tk_pad), full(tq_pad), full(tq_pad),
-            pl.BlockSpec((1, tq_pad, 128), lambda b: (b, 0, 0),
+            per_tile(tq_eff), per_b(tq_pad + 1), per_b(tk_pad),
+            per_b(tk_pad), per_b(tk_pad), per_tile(tq_eff),
+            per_tile(tq_eff),
+            pl.BlockSpec((1, tq_eff, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=(full(tq_pad), full(tq_pad + 1), full(tk_pad),
-                   full(tk_pad), full(tk_pad)),
+        out_specs=(per_tile(tq_eff), per_tile(tq_eff),
+                   pl.BlockSpec((1, 8, d_pad), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM),
+                   per_b(tk_pad), per_b(tk_pad), per_b(tk_pad)),
         out_shape=(
             jax.ShapeDtypeStruct((bh, tq_pad, d_pad), f32),
-            jax.ShapeDtypeStruct((bh, tq_pad + 1, d_pad), f32),
+            jax.ShapeDtypeStruct((bh, tq_pad, d_pad), f32),
+            jax.ShapeDtypeStruct((bh, num_q_tiles * 8, d_pad), f32),
             jax.ShapeDtypeStruct((bh, tk_pad, d_pad), f32),
             jax.ShapeDtypeStruct((bh, tk_pad, d_pad), f32),
             jax.ShapeDtypeStruct((bh, tk_pad, d_pad), f32)),
@@ -749,6 +770,14 @@ def _flash_rel_bwd_pallas(q_u, qv, k, v, p, kv_lens, out, lse, dout,
             transcendentals=bh * tq_pad * tk_pad,
         ),
     )(qp, qvp, kp, vp, pp, dop, op, lse, kv_smem, seed)
+
+    # recombine dqv: tile i's main rows land at [i*tq, (i+1)*tq); its
+    # crossover row (dqv_tile[-1], the rel_shift row t+1 spill) adds onto
+    # the NEXT tile's first row — the last tile's spill targets the padded
+    # row tq_pad and is dropped by the slice below.
+    dqv_x = dqv_extra[:, ::8, :]  # row 0 of each 8-row aligned block
+    dqv_full = dqv_main.at[:, tq_eff::tq_eff, :].add(
+        dqv_x[:, :num_q_tiles - 1, :]) if num_q_tiles > 1 else dqv_main
 
     return (dq[:, :t_q, :d], dqv_full[:, :t_q, :d], dk[:, :t_k, :d],
             dv[:, :t_k, :d], dp_full[:, :t_k, :d])
