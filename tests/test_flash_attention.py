@@ -227,3 +227,27 @@ def test_flash_train_dropout(rng):
     for name, a, b in zip("qu qv k v p".split(), g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_flash_train_grads_many_tiles(rng):
+    """Five q-tiles (T=520, tq=128): the round-3 tiled backward must
+    accumulate dk/dv/dp across grid steps and stitch the dqv crossover
+    rows across every tile boundary, not just the 2-tile case above."""
+    from liteasr_tpu.ops.flash_attention import (
+        _ref_rel_attention, flash_rel_attention_train)
+
+    bh, t, d = 1, 520, 64
+    mk = lambda: jnp.asarray(rng.normal(size=(bh, t, d)) * 0.3, jnp.float32)
+    q_u, qv, k, v, p = mk(), mk(), mk(), mk(), mk()
+    kv_lens = jnp.array([t - 37], jnp.int32)
+    scale = 1.0 / (d ** 0.5)
+
+    args = (q_u, qv, k, v, p)
+    g_flash = jax.grad(lambda *a: (flash_rel_attention_train(
+        *a, kv_lens, jnp.zeros((), jnp.int32), scale, 0.0, True) ** 2).sum(),
+        argnums=(0, 1, 2, 3, 4))(*args)
+    g_ref = jax.grad(lambda *a: (_ref_rel_attention(
+        *a, kv_lens, scale) ** 2).sum(), argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip("qu qv k v p".split(), g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
