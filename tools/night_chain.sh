@@ -1,0 +1,68 @@
+#!/bin/bash
+# Serial TPU work chain for round 3 (no co-location: the tunnel compile
+# server starves concurrent clients — see memory/tpu-tunnel-ops).
+# Priority: scoreboard bench, wav2vec2 convergence (VERDICT #1), hard-corpus
+# flagship + CI eval (#6), paraformer glancing run (#2), transducer-hard.
+set -x
+cd "$(dirname "$0")/.."
+REPO="$PWD"
+export PYTHONPATH="$REPO:/root/.axon_site"
+STAMP() { date "+%F %T"; }
+
+echo "$(STAMP) chain start" > /tmp/chain.log
+
+# 0. liveness probe (fail fast if the tunnel is still down)
+timeout 300 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256)); print('probe ok', float((x @ x).sum()))" \
+  >> /tmp/chain.log 2>&1 || { echo "$(STAMP) TUNNEL DOWN" >> /tmp/chain.log; exit 1; }
+
+# 1. bench (the round scoreboard), twice for the within-3% protocol
+timeout 7200 python bench.py > /tmp/bench_r03_a.json 2>/tmp/bench_a.err
+echo "$(STAMP) bench A: $(cat /tmp/bench_r03_a.json)" >> /tmp/chain.log
+timeout 3600 python bench.py > /tmp/bench_r03_b.json 2>/tmp/bench_b.err
+echo "$(STAMP) bench B: $(cat /tmp/bench_r03_b.json)" >> /tmp/chain.log
+
+# 2. wav2vec2 to >=10k optimizer steps (epoch 20), resumed from ep-8 state
+timeout 10800 python -m liteasr_tpu.train \
+  task=pretrain model=wav2vec2 criterion=wav2vec optimizer=my_adam \
+  optimizer.lr=2e-4 criterion.diversity_weight=1.0 \
+  task.train=exp/synth_waves_xl/train task.valid=exp/synth_waves_xl/valid \
+  task.save_dir=exp/pretrain_run3/ckpts common.run_dir=exp/pretrain_run3 \
+  common.compile_cache_dir=exp/.jax_cache common.resume=auto \
+  'common.trigger=[{name: report_loss, interval: 100, unit: iteration}, {name: valid, interval: 1, unit: epoch}, {name: save_model, interval: 2, unit: epoch}]' \
+  model.dtype=bfloat16 \
+  optimization.max_epoch=20 optimization.accum_grad=1 \
+  optimization.clip_grad_norm=5.0 >> /tmp/chain.log 2>&1
+echo "$(STAMP) wav2vec2 done rc=$?" >> /tmp/chain.log
+
+# 3. hard-corpus flagship (6 epochs = ~12.7k micro-steps) + CI-scored eval
+timeout 10800 bash tools/run_hard.sh u2 "$REPO/exp/hard_u2_run" 6 \
+  >> /tmp/chain.log 2>&1
+echo "$(STAMP) hard U2 done rc=$?" >> /tmp/chain.log
+timeout 7200 bash tools/eval_hard.sh "$REPO/exp/hard_u2_run" 6 3 \
+  > /tmp/eval_hard.log 2>&1
+echo "$(STAMP) eval done rc=$? -> /tmp/eval_hard.log" >> /tmp/chain.log
+
+# 4. paraformer glancing run (dense graph is compile-cached)
+timeout 10800 python -m liteasr_tpu.train \
+  task=asr model=Paraformer criterion=paraformer_loss optimizer=my_noam \
+  task.vocab=exp/synth_corpus/vocab.txt \
+  task.train=exp/synth_corpus/train task.valid=exp/synth_corpus/valid \
+  'task.test=[exp/synth_corpus/test]' \
+  task.save_dir=exp/paraformer_run3/ckpts common.run_dir=exp/paraformer_run3 \
+  common.compile_cache_dir=exp/.jax_cache \
+  'common.trigger=[{name: report_loss, interval: 100, unit: iteration}, {name: valid, interval: 1, unit: epoch}, {name: save_model, interval: 4, unit: epoch}]' \
+  model.dtype=bfloat16 \
+  model.sample_ratio=0.75 model.sample_ratio_end=0.1 \
+  model.sample_ratio_decay_steps=8000 model.glance_at_eval=false \
+  optimization.max_epoch=36 optimization.accum_grad=2 \
+  >> /tmp/chain.log 2>&1
+echo "$(STAMP) paraformer done rc=$?" >> /tmp/chain.log
+
+# 5. transducer on the hard corpus (smaller batch: joint-lattice memory)
+timeout 10800 bash tools/run_hard.sh transducer "$REPO/exp/hard_td_run" 6 \
+  dataset.batch_size=16 optimization.accum_grad=4 \
+  >> /tmp/chain.log 2>&1
+echo "$(STAMP) transducer done rc=$?" >> /tmp/chain.log
+echo "$(STAMP) chain complete" >> /tmp/chain.log

@@ -5,7 +5,7 @@
 # checkpoint-averaging comparisons have statistical power
 # (tools/score_ci.py).
 #
-# usage: tools/run_hard.sh u2|transducer [run_dir] [epochs]
+# usage: tools/run_hard.sh u2|transducer [run_dir] [epochs] [extra overrides...]
 set -e
 cd "$(dirname "$0")/.."
 REPO="$PWD"
@@ -13,6 +13,7 @@ FAMILY="${1:-u2}"
 RUN="${2:-$REPO/exp/hard_${FAMILY}_run}"
 CORPUS="$REPO/exp/synth_hard"
 EPOCHS="${3:-10}"
+shift $(( $# > 3 ? 3 : $# ))
 mkdir -p "$RUN"
 
 case "$FAMILY" in
@@ -29,4 +30,4 @@ PYTHONPATH="$REPO:/root/.axon_site" exec python -m liteasr_tpu.train \
   task.save_dir="$RUN/ckpts" common.run_dir="$RUN" \
   common.compile_cache_dir="$REPO/exp/.jax_cache" \
   model.dtype=bfloat16 \
-  optimization.max_epoch="$EPOCHS" optimization.accum_grad=2
+  optimization.max_epoch="$EPOCHS" optimization.accum_grad=2 "$@"
