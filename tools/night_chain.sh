@@ -40,9 +40,14 @@ echo "$(STAMP) wav2vec2 done rc=$?" >> /tmp/chain.log
 timeout 10800 bash tools/run_hard.sh u2 "$REPO/exp/hard_u2_run" 6 \
   >> /tmp/chain.log 2>&1
 echo "$(STAMP) hard U2 done rc=$?" >> /tmp/chain.log
-timeout 7200 bash tools/eval_hard.sh "$REPO/exp/hard_u2_run" 6 3 \
-  > /tmp/eval_hard.log 2>&1
-echo "$(STAMP) eval done rc=$? -> /tmp/eval_hard.log" >> /tmp/chain.log
+last_ep() { ls "$1"/model.ep.*.msgpack 2>/dev/null \
+  | sed 's/.*ep\.\([0-9]*\).*/\1/' | sort -n | tail -1; }
+EP=$(last_ep "$REPO/exp/hard_u2_run/ckpts")
+if [ -n "$EP" ]; then
+  timeout 7200 bash tools/eval_hard.sh "$REPO/exp/hard_u2_run" "$EP" 3 \
+    > /tmp/eval_hard.log 2>&1
+  echo "$(STAMP) eval@ep$EP done rc=$? -> /tmp/eval_hard.log" >> /tmp/chain.log
+fi
 
 # 4. paraformer glancing run (dense graph is compile-cached)
 timeout 10800 python -m liteasr_tpu.train \
@@ -59,6 +64,16 @@ timeout 10800 python -m liteasr_tpu.train \
   optimization.max_epoch=36 optimization.accum_grad=2 \
   >> /tmp/chain.log 2>&1
 echo "$(STAMP) paraformer done rc=$?" >> /tmp/chain.log
+PEP=$(last_ep "$REPO/exp/paraformer_run3/ckpts")
+if [ -n "$PEP" ]; then
+  timeout 3600 python -m liteasr_tpu.infer --config-dir exp/paraformer_run3 \
+    inference.ckpt_name="$PEP" inference.model_avg=true inference.avg_num=3 \
+    dataset.pad_time_multiple=512 inference.batch_size=32 \
+    inference.dump=/tmp/para_decode.tsv >> /tmp/chain.log 2>&1
+  echo "$(STAMP) paraformer decode@ep$PEP rc=$?" >> /tmp/chain.log
+  python tools/score_ci.py /tmp/para_decode.tsv --delimiter none \
+    >> /tmp/chain.log 2>&1
+fi
 
 # 5. transducer on the hard corpus (smaller batch: joint-lattice memory)
 timeout 10800 bash tools/run_hard.sh transducer "$REPO/exp/hard_td_run" 6 \
