@@ -80,4 +80,7 @@ timeout 10800 bash tools/run_hard.sh transducer "$REPO/exp/hard_td_run" 6 \
   dataset.batch_size=16 optimization.accum_grad=4 \
   >> /tmp/chain.log 2>&1
 echo "$(STAMP) transducer done rc=$?" >> /tmp/chain.log
+# 6. streaming decode latency (VERDICT r2 #7 benchmark row)
+timeout 3600 python tools/bench_streaming.py > /tmp/bench_streaming.json 2>&1
+echo "$(STAMP) streaming bench: $(tail -1 /tmp/bench_streaming.json)" >> /tmp/chain.log
 echo "$(STAMP) chain complete" >> /tmp/chain.log
