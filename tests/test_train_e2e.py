@@ -79,3 +79,32 @@ def test_train_accum_and_losses_finite(tiny_corpus, tmp_path):
     losses = np.asarray([float(x) for x in
                          np.ravel(trainer._loss_accum)]) if trainer._loss_accum else []
     assert trainer.iter >= 1
+
+
+def test_train_fused_step_matches_chain(tiny_corpus, tmp_path):
+    """optimization.fused_step=true must reproduce the optax-chain run's
+    trajectory through the FULL production Trainer (same data order, same
+    PRNG folding): identical valid losses and near-identical params."""
+    import flax.serialization as fser
+    import jax
+
+    from liteasr_tpu.checkpoint import parse_valid_losses
+    from liteasr_tpu.train import setup_logging
+
+    runs = {}
+    for tag, flag in (("chain", "false"), ("fused", "true")):
+        d = tmp_path / tag
+        d.mkdir()
+        cfg = _tiny_cfg(tiny_corpus, d,
+                        extra=(f"optimization.fused_step={flag}",))
+        setup_logging(str(d))
+        trainer = train(cfg)
+        params = jax.device_get(trainer.state.params)
+        runs[tag] = (parse_valid_losses(str(d / "train.log")), params)
+
+    losses_c, p_c = runs["chain"]
+    losses_f, p_f = runs["fused"]
+    np.testing.assert_allclose(losses_f, losses_c, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p_c), jax.tree.leaves(p_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5)
