@@ -226,6 +226,14 @@ def main():
         "device_kind": kind,
         "rep_spread_pct": round(
             100.0 * (max(times) - min(times)) / dt, 1),
+        # provenance: which round-3 fused paths produced this number
+        "fused": {
+            "bn_ln_custom_vjp": True,  # model defaults (nets/layers, common)
+            "optimizer_fused_step": hasattr(tx, "apply"),
+            "flash_train": __import__(
+                "liteasr_tpu.ops.flash_attention",
+                fromlist=["flash_train_available"]).flash_train_available(),
+        },
     }
     if host_load is not None and host_load > HOST_LOAD_THRESHOLD:
         out["host_load_warning"] = host_load
