@@ -69,3 +69,69 @@ def test_export_forward_roundtrip():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(h_ctc), np.asarray(g_ctc),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_export_cli(tiny_corpus, tmp_path):
+    """python -m liteasr_tpu.export --config-dir <run>: builds the model
+    from the persisted run config (probing input_dim from the test set like
+    liteasr-infer), loads the checkpoint, writes artifact + manifest."""
+    import json
+    import os
+
+    import flax.serialization as fser
+    import numpy as np
+
+    from liteasr_tpu.config import compose
+    from liteasr_tpu.config.core import to_yaml
+    from liteasr_tpu.export import load_exported, main as export_main
+
+    cfg = compose([
+        "task=asr", "model=my_U2", "criterion=my_hybrid_ctc",
+        "optimizer=my_noam",
+        f"task.vocab={tiny_corpus / 'vocab.txt'}",
+        f"task.train={tiny_corpus / 'train'}",
+        f"task.valid={tiny_corpus / 'valid'}",
+        f"task.test=[{tiny_corpus / 'test'}]",
+        f"task.save_dir={tmp_path / 'ckpts'}",
+        f"common.run_dir={tmp_path}",
+        "model.enc_layers=1", "model.dec_layers=1", "model.enc_dim=32",
+        "model.enc_ff_dim=64", "model.dec_dim=32", "model.dec_ff_dim=64",
+        "model.enc_attn_heads=2", "model.dec_attn_heads=2",
+    ])
+    (tmp_path / "config.yaml").write_text(to_yaml(cfg))
+
+    # a checkpoint without training: init params at the corpus feat dim
+    import jax
+    import jax.numpy as jnp
+
+    from liteasr_tpu import tasks
+
+    task = tasks.setup_task(cfg.task)
+    task.load_dataset("test", list(task.cfg.test), cfg.dataset, None)
+    mcfg = dict(cfg.model)
+    mcfg["input_dim"] = task.feat_dim
+    model = task.build_model(mcfg)
+    B, T, U = 2, 64, 6
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((B, T, task.feat_dim), jnp.float32),
+        jnp.full((B,), T, jnp.int32), jnp.ones((B, U), jnp.int32),
+        jnp.full((B,), U, jnp.int32), train=False)
+    os.makedirs(tmp_path / "ckpts", exist_ok=True)
+    with open(tmp_path / "ckpts" / "model.ep.1.msgpack", "wb") as f:
+        f.write(fser.to_bytes(variables))
+
+    out = export_main([
+        "--config-dir", str(tmp_path),
+        "inference.ckpt_name=1", "inference.model_avg=false",
+        "export.mode=ctc_greedy", "export.batch=2", "export.frames=64",
+        f"export.out={tmp_path / 'a.shlo'}"])
+    assert os.path.getsize(out) > 1000
+    manifest = json.loads(open(out + ".json").read())
+    assert manifest["mode"] == "ctc_greedy"
+
+    run = load_exported(open(out, "rb").read())
+    xs = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 64, task.feat_dim)), jnp.float32)
+    hyps = run(variables, xs, jnp.asarray([64, 50], jnp.int32))
+    assert jax.tree.leaves(hyps)[0].shape[0] == 2
