@@ -163,6 +163,25 @@ def main():
         report("rel_shift fwd", bench(fwd, x))
         report("rel_shift fwd+bwd", bench(bwd, x))
 
+        # variant: one flat gather (the streaming chunk path's formulation)
+        # instead of the concat + relayout reshape pair
+        def rel_shift_gather(x):
+            b, h, t1, t2 = x.shape
+            t = jnp.arange(t1)[:, None]
+            j = jnp.arange(t2)[None, :]
+            row = jnp.where(j <= t, t, jnp.minimum(t + 1, t1 - 1))
+            col = jnp.where(j <= t, t2 - 1 + j - t, j - t - 2)
+            col = jnp.clip(col, 0, t2 - 1)
+            flat = (row * t2 + col).reshape(-1)
+            out = jnp.take(x.reshape(b, h, t1 * t2), flat, axis=-1)
+            out = out.reshape(b, h, t1, t2)
+            return jnp.where((j == t + 1)[None, None], 0.0, out)
+
+        gf = jax.jit(rel_shift_gather)
+        gb = jax.jit(jax.grad(lambda x: (rel_shift_gather(x) ** 2).mean()))
+        report("rel_shift gather fwd", bench(gf, x))
+        report("rel_shift gather fwd+bwd", bench(gb, x))
+
     # ---------------------------------------------------------------- bn
     if "bn" in sections:
         import flax.linen as nn
