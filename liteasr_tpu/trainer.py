@@ -334,7 +334,18 @@ class Trainer:
         # every process gathers the full value, reads the same file, and
         # re-contributes only its addressable shards.
         host_state = gather_tree(self.state)
-        restored = checkpoint.restore_train_state(path, host_state)
+        try:
+            restored = checkpoint.restore_train_state(path, host_state)
+        except Exception as e:
+            # the usual cause: optimizer-state layout mismatch — the fused
+            # path (optimization.fused_step) and the optax chain serialize
+            # different trees. Fail with guidance, not a msgpack traceback.
+            raise RuntimeError(
+                f"cannot restore {path}: the saved optimizer state does not "
+                "match this run's layout. A run must resume with the SAME "
+                "optimization.fused_step setting (and accum_grad) it was "
+                f"started with. Underlying error: {type(e).__name__}: {e}"
+            ) from e
         self.state = shard_tree(restored, self._state_sharding)
         meta_path = path + ".meta"
         if os.path.isfile(meta_path):
