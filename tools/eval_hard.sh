@@ -19,7 +19,7 @@ run_infer() {  # name, extra overrides...
   echo "=== $name ==="
   # pad_time_multiple=512 pins every decode batch to ONE compiled shape
   # (the remote-compile tunnel charges ~10-30 min per fresh decode graph)
-  PYTHONPATH="$REPO:/root/.axon_site" python -m liteasr_tpu.infer \
+  PYTHONPATH="${LITEASR_PYPATH:-$REPO:/root/.axon_site}" python -m liteasr_tpu.infer \
     --config-dir "$RUN" inference.ckpt_name="$EP" \
     dataset.pad_time_multiple=512 inference.batch_size=32 \
     inference.dump="$OUT/$name.tsv" "$@" 2>&1 | tail -2

@@ -90,7 +90,7 @@ def main():
         d = (errs[idx].sum(axis=1) - errs2[idx].sum(axis=1)) \
             / lens[idx].sum(axis=1)
         dlo, dhi = np.percentile(d, [2.5, 97.5])
-        p = 2 * min((d <= 0).mean(), (d >= 0).mean())
+        p = min(1.0, 2 * min((d <= 0).mean(), (d >= 0).mean()))
         print(f"paired diff (A-B): {100*(rate-rate2):+.2f}pp "
               f"[{100*dlo:+.2f}, {100*dhi:+.2f}] 95% CI, "
               f"two-sided p≈{max(p, 1/args.boot):.4f}")
