@@ -80,6 +80,15 @@ timeout 10800 bash tools/run_hard.sh transducer "$REPO/exp/hard_td_run" 6 \
   dataset.batch_size=16 optimization.accum_grad=4 \
   >> /tmp/chain.log 2>&1
 echo "$(STAMP) transducer done rc=$?" >> /tmp/chain.log
+TEP=$(last_ep "$REPO/exp/hard_td_run/ckpts")
+if [ -n "$TEP" ]; then
+  timeout 3600 python -m liteasr_tpu.infer --config-dir exp/hard_td_run \
+    inference.ckpt_name="$TEP" inference.model_avg=true inference.avg_num=3 \
+    dataset.pad_time_multiple=512 inference.batch_size=32 \
+    inference.dump=/tmp/td_decode.tsv >> /tmp/chain.log 2>&1
+  echo "$(STAMP) transducer decode@ep$TEP rc=$?" >> /tmp/chain.log
+  python tools/score_ci.py /tmp/td_decode.tsv >> /tmp/chain.log 2>&1
+fi
 # 6. streaming decode latency (VERDICT r2 #7 benchmark row)
 timeout 3600 python tools/bench_streaming.py > /tmp/bench_streaming.json 2>&1
 echo "$(STAMP) streaming bench: $(tail -1 /tmp/bench_streaming.json)" >> /tmp/chain.log
