@@ -66,8 +66,11 @@ timeout 10800 python -m liteasr_tpu.train \
 echo "$(STAMP) paraformer done rc=$?" >> /tmp/chain.log
 PEP=$(last_ep "$REPO/exp/paraformer_run3/ckpts")
 if [ -n "$PEP" ]; then
+  # dense_cif=false: the decode graph would otherwise pay the dense CIF's
+  # ~50-min tunnel compile for a once-per-batch op
   timeout 3600 python -m liteasr_tpu.infer --config-dir exp/paraformer_run3 \
     inference.ckpt_name="$PEP" inference.model_avg=true inference.avg_num=3 \
+    model.dense_cif=false \
     dataset.pad_time_multiple=512 inference.batch_size=32 \
     inference.dump=/tmp/para_decode.tsv >> /tmp/chain.log 2>&1
   echo "$(STAMP) paraformer decode@ep$PEP rc=$?" >> /tmp/chain.log
