@@ -288,7 +288,6 @@ def main():
     # --------------------------------------------------------------- opt
     if "opt" in sections:
         from liteasr_tpu.config.core import DotDict
-        from liteasr_tpu.optims import build_optimizer_cls
         from liteasr_tpu.trainer import build_tx
 
         print("[opt]  flagship-sized pytree, clip 5.0, accum 1", flush=True)
