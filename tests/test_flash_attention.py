@@ -251,3 +251,26 @@ def test_flash_train_grads_many_tiles(rng):
     for name, a, b in zip("qu qv k v p".split(), g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+def test_flash_train_all_masked_row_is_nan_safe(rng):
+    """kv_len == 0 (a fully-dummy batch row): output and every gradient for
+    that row must be exactly 0, not NaN (lse == NEG_INF path in
+    _safe_probs)."""
+    from liteasr_tpu.ops.flash_attention import flash_rel_attention_train
+
+    bh, t, d = 2, 24, 32
+    mk = lambda: jnp.asarray(rng.normal(size=(bh, t, d)) * 0.5, jnp.float32)
+    q_u, qv, k, v, p = mk(), mk(), mk(), mk(), mk()
+    kv_lens = jnp.array([0, t - 3], jnp.int32)
+    scale = 1.0 / (d ** 0.5)
+
+    out, grads = jax.value_and_grad(
+        lambda *a: (flash_rel_attention_train(
+            *a, kv_lens, jnp.zeros((), jnp.int32), scale, 0.0, True) ** 2
+        ).sum(), argnums=(0, 1, 2, 3, 4))(q_u, qv, k, v, p)
+    assert np.isfinite(float(out))
+    for g in grads:
+        arr = np.asarray(g)
+        assert np.isfinite(arr).all()
+        np.testing.assert_array_equal(arr[0], 0.0)  # dead row contributes 0
