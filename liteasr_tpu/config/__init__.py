@@ -77,6 +77,12 @@ class DatasetConfig(LiteasrDataclass):
     # values so XLA sees a small, bounded set of shapes (bucketed padding).
     pad_time_multiple: int = 128
     pad_label_multiple: int = 16
+    # pad T/U up a FIXED geometric ladder of those multiples instead: the
+    # set of compiled shapes becomes O(log max_len) and epoch reshuffles can
+    # never surface a brand-new shape mid-run (each fresh shape is a full
+    # XLA compile — 30-60 min through a remote-compile tunnel). A few
+    # percent more padding compute.
+    bucket_ladder: bool = False
     num_workers: int = 2  # host-side prefetch threads
     # raw-wave pretraining: quantize the per-batch crop length DOWN to a
     # multiple of this many samples, and pad the row count up to a multiple

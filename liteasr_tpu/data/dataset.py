@@ -12,6 +12,7 @@ batch divides evenly across the ``dp`` mesh axis. Padded rows carry
 """
 
 import logging
+import math
 import pickle
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -59,6 +60,23 @@ def dummy_min_xlen(raw_wave: bool) -> int:
     return n
 
 
+def ladder_up(n: int, multiple: int, ratio: float = 1.25) -> int:
+    """Smallest rung >= n on a fixed geometric ladder of ``multiple``s.
+
+    Rungs are ``multiple * ceil(ratio^k)`` — independent of which samples
+    share a batch, so the SET of padded shapes a dataset can produce is
+    O(log max_len) instead of one per distinct per-batch maximum. Epoch
+    reshuffles then never surface a brand-new shape mid-run (each fresh
+    shape costs a full XLA compile — 30-60 min through a remote-compile
+    tunnel).
+    """
+    rung = multiple
+    while rung < n:
+        rung = max(rung + multiple,
+                   round_up(int(math.ceil(rung * ratio)), multiple))
+    return rung
+
+
 def collate_batch(
     samples: List[Audio],
     train: bool,
@@ -70,6 +88,7 @@ def collate_batch(
     num_shards: int = 1,
     shard_index: int = 0,
     raw_wave: bool = False,
+    bucket_ladder: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Pad a list of utterances into one fixed-shape batch dict.
 
@@ -78,13 +97,23 @@ def collate_batch(
     materializes only its own row shard — feature I/O happens only for local
     rows. This replaces the reference's DistributedSampler batch sharding
     (trainer.py:48-53) which would give ranks different shapes.
+
+    ``bucket_ladder=True`` (dataset.bucket_ladder) pads T and U up to a
+    fixed geometric ladder instead of the per-batch multiple — see
+    :func:`ladder_up`. Costs a few percent of padding compute; bounds the
+    number of compiled graphs.
     """
     # global padded geometry, from metadata only
     B = len(samples)
     Bp = round_up(B, batch_multiple * num_shards)
-    T = round_up(max(s.xlen for s in samples), pad_time_multiple)
-    U = max(1, round_up(max(max(s.ylen for s in samples), 1),
-                        pad_label_multiple))
+    if bucket_ladder:
+        T = ladder_up(max(s.xlen for s in samples), pad_time_multiple)
+        U = ladder_up(max(max(s.ylen for s in samples), 1),
+                      pad_label_multiple)
+    else:
+        T = round_up(max(s.xlen for s in samples), pad_time_multiple)
+        U = max(1, round_up(max(max(s.ylen for s in samples), 1),
+                            pad_label_multiple))
 
     rows = Bp // num_shards
     lo = shard_index * rows
@@ -244,6 +273,8 @@ class AudioFileDataset:
             num_shards=self.num_shards,
             shard_index=self.shard_index,
             raw_wave=self.fbank,
+            bucket_ladder=bool(cfg.get("bucket_ladder", False)) if cfg
+            else False,
         )
 
     def __getitem__(self, index):

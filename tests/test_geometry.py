@@ -52,3 +52,42 @@ def test_collate_dummy_rows_use_derived_geometry():
     assert (batch["valid"][1:] == 0).all()
     for n in batch["xlens"]:
         assert subsampled(int(n)) >= 1
+
+
+def test_ladder_up_properties():
+    """Fixed geometric ladder: rung >= n, multiple-aligned, and the rung
+    SET below any horizon is logarithmic (the compile-count bound)."""
+    from liteasr_tpu.data.dataset import ladder_up
+
+    for mult in (8, 16, 128):
+        rungs = set()
+        for n in range(1, 6000):
+            r = ladder_up(n, mult)
+            assert r >= n and r % mult == 0
+            assert ladder_up(r, mult) == r  # rungs are fixed points
+            rungs.add(r)
+        assert len(rungs) <= 40, (mult, len(rungs))
+
+
+def test_collate_bucket_ladder_shapes():
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from liteasr_tpu.data.dataset import collate_batch, ladder_up
+
+    def mk(xlen, ylen):
+        return SimpleNamespace(
+            xlen=xlen, ylen=ylen, x=np.zeros((xlen, 4), np.float32),
+            y=np.ones((ylen,), np.int32))
+
+    batch = collate_batch([mk(333, 17), mk(100, 3)], train=False,
+                          feat_dim=4, pad_time_multiple=8,
+                          pad_label_multiple=8, bucket_ladder=True)
+    assert batch["xs"].shape[1] == ladder_up(333, 8)
+    assert batch["ys"].shape[1] == ladder_up(17, 8)
+    # same utterances through a differently-composed batch -> same rung
+    batch2 = collate_batch([mk(333, 17), mk(320, 10), mk(5, 1)],
+                           train=False, feat_dim=4, pad_time_multiple=8,
+                           pad_label_multiple=8, bucket_ladder=True)
+    assert batch2["xs"].shape[1] == batch["xs"].shape[1]
