@@ -32,7 +32,7 @@ logger = logging.getLogger("liteasr_tpu.infer")
 
 def infer_dataset(task, model, variables, dataset, infer_cfg,
                   pad_time_multiple: int = 128, verbose: bool = True,
-                  collect=None):
+                  collect=None, bucket_ladder: bool = False):
     """Decode one test set in device batches; returns (total_err, total_len).
 
     ``collect``: optional list that receives ``(ref, hyp)`` text pairs in
@@ -65,7 +65,12 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
     for lo in range(0, len(data), batch_size):
         chunk = data[lo:lo + batch_size]
         rows = round_up(len(chunk), dp)
-        T = round_up(max(a.xlen for a in chunk), pad_time_multiple)
+        if bucket_ladder:  # fixed rung set: one compile per rung, not per
+            from liteasr_tpu.data.dataset import ladder_up  # chunk maximum
+
+            T = ladder_up(max(a.xlen for a in chunk), pad_time_multiple)
+        else:
+            T = round_up(max(a.xlen for a in chunk), pad_time_multiple)
         if fbank:
             xs = np.zeros((rows, T), np.float32)
             xlens = np.full(rows, min(dummy_min_xlen(True), T), np.int32)
@@ -144,7 +149,8 @@ def infer(cfg):
         err, length = infer_dataset(
             task, model, variables, test_set, cfg.inference,
             pad_time_multiple=cfg.dataset.get("pad_time_multiple", 128),
-            collect=pairs)
+            collect=pairs,
+            bucket_ladder=bool(cfg.dataset.get("bucket_ladder", False)))
         results.append((err, length))
         logger.info("Error rate: %d / %d = %.2f%%",
                     err, length, 100.0 * err / max(length, 1))
