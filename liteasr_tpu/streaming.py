@@ -161,7 +161,9 @@ def streaming_decode(model, variables, xs, xlens, chunk_sub: int = 16,
     key_lens = jnp.minimum(
         jnp.asarray((xl + 3) // 4, jnp.int32), L)
 
-    key = (id(model), "stream", B, chunk_sub, n_chunks, mode, beam_size,
+    # flax modules are frozen dataclasses (value-hashable) — id() could be
+    # reused by a later model after GC and alias the cached step
+    key = (model, "stream", B, chunk_sub, n_chunks, mode, beam_size,
            blank)
     fn = _STEP_CACHE.get(key)
     if fn is None:
