@@ -184,6 +184,29 @@ def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
     return x_padded[:, :, 1:].reshape(b, h, t1, t2)
 
 
+def rel_shift_fast(x: jnp.ndarray) -> jnp.ndarray:
+    """``rel_shift`` as ONE layout-preserving gather along the minor axis.
+
+    The pad-reshape pair above is a flat-slice reinterpretation: with the
+    zero column prepended, out.flat[i] = x_padded.flat[i + T1]. On TPU the
+    (T2+1, T1) relayout-reshape lowers to a tiled transpose; indexing the
+    permutation directly keeps the (8, 128) layout. Bit-exact vs
+    ``rel_shift`` — values and gradients (tests/test_rel_shift_fast.py):
+    out[t, j <= t] = x[t, T2-1+j-t]; out[t, t+1] = 0 (the pad column);
+    out[t, j > t+1] = x[t+1, j-t-2] (the legacy crossover row).
+    """
+    b, h, t1, t2 = x.shape
+    t = jnp.arange(t1)[:, None]
+    j = jnp.arange(t2)[None, :]
+    row = jnp.where(j <= t, t, jnp.minimum(t + 1, t1 - 1))
+    col = jnp.where(j <= t, t2 - 1 + j - t, j - t - 2)
+    col = jnp.clip(col, 0, t2 - 1)
+    flat = (row * t2 + col).reshape(-1)
+    out = jnp.take(x.reshape(b, h, t1 * t2), flat, axis=-1)
+    out = out.reshape(b, h, t1, t2)
+    return jnp.where((j == t + 1)[None, None], jnp.zeros((), x.dtype), out)
+
+
 class RelativeMultiHeadAttention(MultiHeadAttention):
     """Rel-pos MHA with learnable content/position biases u, v.
 

@@ -109,7 +109,12 @@ def _ctc_scan(emits, can_skip, input_lengths, label_lengths):
         return jnp.where(active, new_alpha, alpha), None
 
     ts = jnp.arange(1, T)
-    alpha, _ = jax.lax.scan(step, alpha0, (emits[:, 1:].swapaxes(0, 1), ts))
+    # unroll: each iteration is a handful of (B, S) VPU ops, so the scan's
+    # per-step dispatch overhead is a real fraction of its cost at T~200;
+    # unrolling 4 steps per loop iteration amortizes it (fwd and the
+    # transposed bwd scan both inherit the unroll). Exact same math.
+    alpha, _ = jax.lax.scan(step, alpha0, (emits[:, 1:].swapaxes(0, 1), ts),
+                            unroll=4)
 
     # final states: S_b - 1 = 2*U_b (last blank) and S_b - 2 = 2*U_b - 1
     last = 2 * label_lengths  # (B,)

@@ -18,6 +18,9 @@ mkdir -p "$OUT"
 
 timeout 2400 python tools/profile_microops.py flash attention rel_shift \
   > "$OUT/microops.txt" 2>&1
+# long-context regime the re-tiled backward targets: 60-s utterances
+PROF_T=1600 PROF_B=4 timeout 2400 python tools/profile_microops.py flash \
+  > "$OUT/microops_longT.txt" 2>&1
 timeout 2400 python bench.py > "$OUT/bench_flash_off.json" 2>"$OUT/bench_off.err"
 LITEASR_FLASH_TRAIN=1 timeout 2400 python bench.py \
   > "$OUT/bench_flash_on.json" 2>"$OUT/bench_on.err"

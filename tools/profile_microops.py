@@ -23,7 +23,11 @@ import time
 
 import numpy as np
 
-B, T, C, H = 32, 199, 256, 4
+import os
+
+B = int(os.environ.get("PROF_B", 32))
+T = int(os.environ.get("PROF_T", 199))
+C, H = 256, 4
 DK = C // H
 WARMUP, ITERS = 5, 20
 
@@ -163,19 +167,10 @@ def main():
         report("rel_shift fwd", bench(fwd, x))
         report("rel_shift fwd+bwd", bench(bwd, x))
 
-        # variant: one flat gather (the streaming chunk path's formulation)
-        # instead of the concat + relayout reshape pair
-        def rel_shift_gather(x):
-            b, h, t1, t2 = x.shape
-            t = jnp.arange(t1)[:, None]
-            j = jnp.arange(t2)[None, :]
-            row = jnp.where(j <= t, t, jnp.minimum(t + 1, t1 - 1))
-            col = jnp.where(j <= t, t2 - 1 + j - t, j - t - 2)
-            col = jnp.clip(col, 0, t2 - 1)
-            flat = (row * t2 + col).reshape(-1)
-            out = jnp.take(x.reshape(b, h, t1 * t2), flat, axis=-1)
-            out = out.reshape(b, h, t1, t2)
-            return jnp.where((j == t + 1)[None, None], 0.0, out)
+        # variant: one flat gather (nets/attention.rel_shift_fast) instead
+        # of the concat + relayout reshape pair
+        from liteasr_tpu.nets.attention import rel_shift_fast as \
+            rel_shift_gather
 
         gf = jax.jit(rel_shift_gather)
         gb = jax.jit(jax.grad(lambda x: (rel_shift_gather(x) ** 2).mean()))
