@@ -102,10 +102,37 @@ def load_ckpt(infer_cfg) -> Any:
         ckpt_loss = sorted(
             zip(ckpts[: pos + 1], losses[: pos + 1]),
             key=lambda cl: (np.isnan(cl[1]), cl[1]))
-        pickup = [c for c, _ in ckpt_loss[: infer_cfg.avg_num]]
+        picked = ckpt_loss[: infer_cfg.avg_num]
+        pickup = [c for c, _ in picked]
+        check_avg_spread([l for _, l in picked])
 
     logger.info("loading average checkpoint from:\n\t%s", "\n\t".join(pickup))
     return _average_params(pickup)
+
+
+def check_avg_spread(losses: List[float], tol: float = 0.5) -> bool:
+    """Warn when the N-best checkpoints' valid losses oscillate.
+
+    Parameter averaging assumes the selected checkpoints sit in one basin;
+    when their valid losses spread widely (e.g. glancing-trained Paraformer
+    checkpoints oscillate in function space and 10-best averaging scored
+    WORSE than the last checkpoint — BENCHMARKS.md), the average can be
+    worse than the single best. Returns True (and warns) when relative
+    spread exceeds ``tol``.
+    """
+    vals = np.asarray([l for l in losses if np.isfinite(l)], np.float64)
+    if vals.size < 2:
+        return False
+    spread = float(vals.max() - vals.min())
+    rel = spread / max(abs(float(vals.min())), 1e-12)
+    if rel > tol:
+        logger.warning(
+            "N-best checkpoints' valid losses spread %.3g..%.3g (%.0f%% of "
+            "best): averaging across oscillating checkpoints can score "
+            "worse than the single best — compare with model_avg=false",
+            vals.min(), vals.max(), 100.0 * rel)
+        return True
+    return False
 
 
 # -------------------------- full train-state checkpoints (resume support)

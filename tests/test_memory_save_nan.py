@@ -141,3 +141,39 @@ def test_ckpt_avg_ignores_train_state_files(tmp_path):
                   avg_num=2, avg_policy=None)
     avg = checkpoint.load_ckpt(cfg)
     np.testing.assert_allclose(np.asarray(avg["params"]["w"]), [2.0, 2.0])
+
+
+def test_avg_spread_guard(tmp_path, caplog):
+    """N-best averaging warns when the selected checkpoints' valid losses
+    oscillate (averaging across basins can score worse than the single
+    best — the Paraformer 10-best regression, BENCHMARKS.md)."""
+    import logging
+
+    from liteasr_tpu import checkpoint
+
+    # unit: tight set is quiet, oscillating set trips
+    assert not checkpoint.check_avg_spread([1.00, 1.02, 0.99])
+    assert checkpoint.check_avg_spread([1.0, 2.5, 1.1])
+    assert not checkpoint.check_avg_spread([float("nan"), 1.0])  # degenerate
+
+    # integration: load_ckpt with an N-best policy over an oscillating log
+    for ep, val in ((1, 1.0), (2, 2.0), (3, 3.0)):
+        checkpoint.save_params(
+            str(tmp_path / f"model.ep.{ep}.msgpack"),
+            {"params": {"w": jnp.full((2,), val)}})
+    log = tmp_path / "train.log"
+    log.write_text("".join(f"... valid loss: {v}\n" for v in (0.5, 2.0, 0.6)))
+    caplog.clear()  # the unit-level trip above already logged once
+    cfg = DotDict(ckpt_path=str(tmp_path), ckpt_name=3, model_avg=True,
+                  avg_num=2, avg_policy=str(log))
+    with caplog.at_level(logging.WARNING, logger="liteasr_tpu.checkpoint"):
+        avg = checkpoint.load_ckpt(cfg)
+    # picks epochs 1 (0.5) and 3 (0.6): tight pair -> NO warning
+    np.testing.assert_allclose(np.asarray(avg["params"]["w"]), [2.0, 2.0])
+    assert not any("oscillating" in r.message for r in caplog.records)
+
+    cfg = DotDict(ckpt_path=str(tmp_path), ckpt_name=3, model_avg=True,
+                  avg_num=3, avg_policy=str(log))
+    with caplog.at_level(logging.WARNING, logger="liteasr_tpu.checkpoint"):
+        checkpoint.load_ckpt(cfg)
+    assert any("oscillating" in r.message for r in caplog.records)
