@@ -57,6 +57,10 @@ def _average_params(paths: List[str]) -> Any:
     return jax.tree.map(avg, acc)
 
 
+_LOSS_RE = (r"valid loss: "
+            r"([-+]?(?:\d+\.?\d*(?:[eE][-+]?\d+)?|\.\d+|nan|inf))")
+
+
 def parse_valid_losses(log_path: str) -> List[float]:
     """Extract ``valid loss: X`` values from train.log (checkpoint.py:55-67).
 
@@ -64,8 +68,7 @@ def parse_valid_losses(log_path: str) -> List[float]:
     digits-only pattern would silently mis-parse those and make N-best
     averaging pick the wrong epochs.
     """
-    pattern = re.compile(
-        r"valid loss: ([-+]?(?:\d+\.?\d*(?:[eE][-+]?\d+)?|\.\d+|nan|inf))")
+    pattern = re.compile(_LOSS_RE)
     losses = []
     with open(log_path, "r") as log:
         for line in log:
@@ -73,6 +76,44 @@ def parse_valid_losses(log_path: str) -> List[float]:
             if match:
                 losses.append(float(match.group(1)))
     return losses
+
+
+def parse_valid_history(log_path: str) -> List[tuple]:
+    """Extract ``(epoch, valid loss)`` pairs from train.log.
+
+    The trainer's valid lines carry their epoch counter
+    (``... E / MAX epochs - valid loss: X``); keying losses by epoch is what
+    lets :func:`load_ckpt`'s N-best policy align losses with checkpoints
+    saved at a coarser interval than the valid trigger (save every K>1
+    epochs misaligned a positional zip: model.ep.8 would be scored with
+    epoch 2's loss). Resumed runs append duplicate epochs; every occurrence
+    is kept in file order, so "last entry with epoch <= N" picks the
+    freshest measurement.
+    """
+    pattern = re.compile(r"(\d+) / (?:\d+|inf) epochs - " + _LOSS_RE)
+    out = []
+    with open(log_path, "r") as log:
+        for line in log:
+            match = pattern.search(line)
+            if match:
+                out.append((int(match.group(1)), float(match.group(2))))
+    return out
+
+
+def _ckpt_epoch(path: str) -> int:
+    match = re.search(r"model\.ep\.(\d+)\.msgpack$", path)
+    return int(match.group(1)) if match else -1
+
+
+def _loss_for_epoch(history: List[tuple], epoch: int) -> float:
+    """Valid loss attributed to the checkpoint saved at ``epoch``'s end:
+    the last logged valid at epoch <= N (the save trigger fires after the
+    valid trigger at the same boundary)."""
+    best = float("nan")
+    for ep, loss in history:
+        if ep <= epoch:
+            best = loss
+    return best
 
 
 def load_ckpt(infer_cfg) -> Any:
@@ -84,9 +125,10 @@ def load_ckpt(infer_cfg) -> Any:
         logger.info("loading checkpoint: %s", path)
         return load_params(path)
 
-    # only model checkpoints — save_dir also holds train_state files
+    # only model checkpoints — save_dir also holds train_state files;
+    # epoch-number order (mtime lies after file copies / machine moves)
     ckpts = sorted(glob.glob(os.path.join(ckpt_path, "model.ep.*.msgpack")),
-                   key=os.path.getmtime)
+                   key=_ckpt_epoch)
     target = os.path.join(ckpt_path, CKPT_TEMPLATE.format(ckpt_name))
     pos = ckpts.index(target)
     assert pos - infer_cfg.avg_num + 1 >= 0
@@ -97,7 +139,19 @@ def load_ckpt(infer_cfg) -> Any:
     if avg_policy is None or not os.path.isfile(avg_policy):
         pickup = ckpts[pos - infer_cfg.avg_num + 1: pos + 1]
     else:
-        losses = parse_valid_losses(avg_policy)
+        history = parse_valid_history(avg_policy)
+        if history:
+            # key losses by the epoch in each checkpoint's filename — the
+            # save interval need not equal the valid interval
+            losses = [_loss_for_epoch(history, _ckpt_epoch(c))
+                      for c in ckpts[: pos + 1]]
+        else:  # epoch-less log (foreign format): positional zip fallback
+            losses = parse_valid_losses(avg_policy)
+            if len(losses) != pos + 1:
+                logger.warning(
+                    "avg_policy log has %d valid entries for %d checkpoints "
+                    "and no epoch markers; N-best selection may misalign",
+                    len(losses), pos + 1)
         # nan valid losses sort last so diverged epochs never enter the average
         ckpt_loss = sorted(
             zip(ckpts[: pos + 1], losses[: pos + 1]),

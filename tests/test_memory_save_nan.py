@@ -177,3 +177,39 @@ def test_avg_spread_guard(tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger="liteasr_tpu.checkpoint"):
         checkpoint.load_ckpt(cfg)
     assert any("oscillating" in r.message for r in caplog.records)
+
+
+def test_nbest_aligns_by_epoch_when_save_interval_coarser(tmp_path):
+    """N-best selection must key valid losses by the epoch in each
+    checkpoint's filename, not by list position: with save_model every 4
+    epochs and valid every epoch, the positional zip scored model.ep.8 with
+    epoch 2's loss and averaged wildly distant checkpoints (the round-3
+    Paraformer 97.6% decode regression — the model itself decoded at 1.3%)."""
+    from liteasr_tpu import checkpoint
+
+    # saves at epochs 4, 8, 12; valid after every epoch 1..12, with the
+    # loss IMPROVING monotonically (later epochs are better)
+    for ep, val in ((4, 4.0), (8, 8.0), (12, 12.0)):
+        checkpoint.save_params(
+            str(tmp_path / f"model.ep.{ep}.msgpack"),
+            {"params": {"w": jnp.full((2,), val)}})
+    log = tmp_path / "train.log"
+    log.write_text("".join(
+        f"[ts][INFO][liteasr_tpu.trainer:476][valid] - {ep * 100} / inf "
+        f"iters, {ep} / 12 epochs - valid loss: {13.0 - ep:.2f}\n"
+        for ep in range(1, 13)))
+
+    cfg = DotDict(ckpt_path=str(tmp_path), ckpt_name=12, model_avg=True,
+                  avg_num=2, avg_policy=str(log))
+    avg = checkpoint.load_ckpt(cfg)
+    # best two epochs are 12 (loss 1.0) and 8 (loss 5.0) -> mean 10.0;
+    # a positional zip would have scored ep4<-loss(ep1) etc. and picked 4+8
+    np.testing.assert_allclose(np.asarray(avg["params"]["w"]), [10.0, 10.0])
+
+    # parse_valid_history keeps resume-duplicated epochs in file order
+    with open(log, "a") as f:
+        f.write("[ts][INFO] - 1250 / inf iters, 12 / 12 epochs - "
+                "valid loss: 0.5\n")
+    hist = checkpoint.parse_valid_history(str(log))
+    assert hist[-1] == (12, 0.5)
+    assert checkpoint._loss_for_epoch(hist, 12) == 0.5
