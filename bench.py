@@ -24,9 +24,14 @@ Measurement protocol (defends the recorded number):
     contention (data loaders, CI, a concurrent test suite) shows up as
     spikes in a minority of repetitions and the median rejects them.
   * /proc/loadavg is sampled before the run; if the 1-minute load exceeds
-    HOST_LOAD_THRESHOLD the JSON carries ``host_load_warning`` with the
-    observed load — numbers captured under load are suspect and should be
-    re-run on an idle host.
+    HOST_LOAD_THRESHOLD the bench WAITS (re-sampling every 30 s, up to
+    LOAD_WAIT_MAX_S) for the host to go idle before measuring. Only if the
+    load never clears does it proceed, carrying ``host_load_warning`` with
+    the observed load — such numbers are suspect and should be re-run.
+  * The JSON also reports ``best_rep`` (the fastest repetition). Host/tunnel
+    contention can only SLOW a repetition, never speed one up, so best_rep
+    is a contention-proof lower bound on the true throughput: a median far
+    below best_rep flags a poisoned capture post hoc (see VERDICT r3).
 """
 
 import json
@@ -40,6 +45,36 @@ TARGET_MULTIPLIER = 5.0
 B, T, D, U = 32, 800, 80, 48
 WARMUP, ITERS, REPS = 5, 10, 5
 HOST_LOAD_THRESHOLD = 0.5  # 1-min loadavg; this host has a single core
+LOAD_WAIT_MAX_S = 600  # wait up to 10 min for a loaded host to go idle
+
+
+def read_load():
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except OSError:  # non-Linux host
+        return None
+
+
+def wait_for_idle_host():
+    """Block (bounded) until the 1-min load clears HOST_LOAD_THRESHOLD.
+
+    BENCH_r03 was poisoned by a concurrent training run (VERDICT r3): the
+    median-of-5 protocol cannot reject contention spanning most reps, so the
+    bench now refuses to start while the host is busy.  Returns the load
+    observed at the moment measurement proceeds.
+    """
+    import sys
+
+    load = read_load()
+    if load is None:
+        return None
+    deadline = time.time() + LOAD_WAIT_MAX_S
+    while load > HOST_LOAD_THRESHOLD and time.time() < deadline:
+        print(f"bench: host load {load:.2f} > {HOST_LOAD_THRESHOLD}; "
+              "waiting for idle...", file=sys.stderr)
+        time.sleep(30)
+        load = read_load()
+    return load
 
 # peak dense bf16 FLOP/s per chip by device_kind substring (public specs)
 PEAK_BF16_FLOPS = {
@@ -95,6 +130,10 @@ def train_step_flops(vocab: int, enc_layers=12, dec_layers=6, d=256,
 
 
 def main():
+    # Refuse to start on a busy host (bounded wait) BEFORE this process
+    # generates any load of its own.
+    wait_for_idle_host()
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -192,11 +231,6 @@ def main():
                        out_shardings=(repl, repl), donate_argnums=(0,))
         return tx, state, step
 
-    try:
-        host_load = float(open("/proc/loadavg").read().split()[0])
-    except OSError:  # non-Linux host
-        host_load = None
-
     tx, state, step = build(True)
     try:
         for _ in range(WARMUP):
@@ -213,6 +247,11 @@ def main():
             state, loss = step(state, batch)
         float(loss)
 
+    # Re-sample right before the timed loop: this process is blocked on the
+    # remote tunnel between dispatches (sleeping, not counted in loadavg),
+    # so a high reading here means SOMEONE ELSE is using the core.
+    host_load = wait_for_idle_host()
+
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
@@ -221,6 +260,7 @@ def main():
         float(loss)  # sequential dependency forces all ITERS steps finished
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]  # median repetition
+    dt_best = min(times)  # contention-proof lower bound (see module doc)
 
     n_chips = len(jax.devices())
     utts_per_sec = B * ITERS / dt / n_chips  # per chip
@@ -239,6 +279,7 @@ def main():
         "tflops_per_chip": round(achieved / 1e12, 2),
         "mfu": mfu,
         "device_kind": kind,
+        "best_rep": round(B * ITERS / dt_best / n_chips, 2),
         "rep_spread_pct": round(
             100.0 * (max(times) - min(times)) / dt, 1),
         # provenance: which round-3 fused paths produced this number

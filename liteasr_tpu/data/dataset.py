@@ -42,7 +42,7 @@ def dummy_min_xlen(raw_wave: bool) -> int:
     frontend still emits >= 1 frame (zero-frame rows break CTC/encoder
     shapes). Derived from the actual fbank frame geometry + the conv
     subsampling formula — NOT hard-coded — so a frontend stride change
-    shifts this value automatically (tests/test_dataset.py pins the
+    shifts this value automatically (tests/test_geometry.py pins the
     contract)."""
     if not raw_wave:
         return MIN_SUBSAMPLE_FRAMES

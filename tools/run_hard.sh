@@ -22,7 +22,9 @@ case "$FAMILY" in
   *) echo "unknown family $FAMILY"; exit 1 ;;
 esac
 
-PYTHONPATH="$REPO:/root/.axon_site" exec python -m liteasr_tpu.train \
+# LITEASR_HARD_TIMEOUT_S: absolute wall-clock kill so no launcher can run
+# into a round boundary and poison the driver bench capture (VERDICT r3 #1a).
+PYTHONPATH="$REPO:/root/.axon_site" exec timeout --signal=TERM --kill-after=120 "${LITEASR_HARD_TIMEOUT_S:-14400}" python -m liteasr_tpu.train \
   task=asr $MODEL optimizer=my_noam \
   task.vocab="$CORPUS/vocab.txt" 'task.delimiter=" "' \
   task.train="$CORPUS/train" task.valid="$CORPUS/valid" \
