@@ -102,6 +102,10 @@ class SpecAugmentConfig:
     """Reference: liteasr/config/__init__.py:43-50."""
 
     time_warp: int = 80
+    # on-device warp interpolation (ops/spec_augment.py): "bicubic" is
+    # PIL-resize parity with the reference transform; "linear" is the
+    # cheaper 2-tap remap
+    time_warp_mode: str = "bicubic"
     freq_mask: int = 27
     freq_mask_times: int = 1
     time_mask: int = 100

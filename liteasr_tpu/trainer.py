@@ -213,6 +213,7 @@ class Trainer:
             sa = pp.get("spec_aug") or {}
             self._specaug_kwargs = dict(
                 time_warp=int(sa.get("time_warp", 5)),
+                time_warp_mode=str(sa.get("time_warp_mode", "bicubic")),
                 freq_mask=int(sa.get("freq_mask", 30)),
                 freq_mask_times=int(sa.get("freq_mask_times", 2)),
                 time_mask=int(sa.get("time_mask", 40)),
