@@ -170,6 +170,24 @@ class MultiHeadAttention(nn.Module):
         return self.apply_attention(scores, v, mask, train)
 
 
+def _flash_debug_enabled() -> bool:
+    """LITEASR_FLASH_DEBUG=1 turns on the traced mask-contract check below
+    (costs one (B, Tk) comparison + a host callback per step; off in
+    production)."""
+    import os
+
+    return os.environ.get("LITEASR_FLASH_DEBUG") == "1"
+
+
+def _raise_unless_suffix_contiguous(ok) -> None:
+    if not bool(ok):
+        raise AssertionError(
+            "flash-train mask violates the suffix-contiguity contract "
+            "((B,1,1,Tk) padding with all True positions at the end): it "
+            "cannot be compressed to kv_lens and would silently produce "
+            "wrong attention. Route structured masks to the XLA path.")
+
+
 def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
     """Transformer-XL relative shift (liteasr/nets/attention.py:99-118).
 
@@ -247,8 +265,20 @@ class RelativeMultiHeadAttention(MultiHeadAttention):
 
         kv_lens = None
         if mask is not None:  # (B, 1, 1, Tk) suffix padding -> lengths
-            kv_lens = (~mask[:, 0, 0, :]).sum(axis=-1).astype(jnp.int32)
-            kv_lens = jnp.repeat(kv_lens, H)
+            row = mask[:, 0, 0, :]
+            kv_lens_b = (~row).sum(axis=-1).astype(jnp.int32)
+            if _flash_debug_enabled():
+                # reconstruction check of the CONTRACT above: the mask must
+                # round-trip through its length compression
+                # (mask == iota >= kv_lens), i.e. all True positions are a
+                # suffix. Raises through a host callback when violated
+                # (tests/test_flash_attention.py::test_flash_debug_*).
+                recon = (jnp.arange(row.shape[-1])[None, :]
+                         >= kv_lens_b[:, None])
+                jax.debug.callback(
+                    _raise_unless_suffix_contiguous,
+                    jnp.all(recon == row))
+            kv_lens = jnp.repeat(kv_lens_b, H)
         p_b = jnp.broadcast_to(p, (B,) + p.shape[1:])
         if self.dropout_rate > 0.0:
             bits = jax.random.bits(self.make_rng("dropout"), (1,), jnp.uint32)

@@ -274,3 +274,56 @@ def test_flash_train_all_masked_row_is_nan_safe(rng):
         arr = np.asarray(g)
         assert np.isfinite(arr).all()
         np.testing.assert_array_equal(arr[0], 0.0)  # dead row contributes 0
+
+
+def _rel_mha_with_flash_train(monkeypatch):
+    """RelativeMultiHeadAttention with the train kernel force-enabled on CPU
+    (availability monkeypatched, kernel re-routed to interpret mode)."""
+    import liteasr_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "flash_train_available", lambda: True)
+    orig = fa.flash_rel_attention_train
+    monkeypatch.setattr(
+        fa, "flash_rel_attention_train",
+        lambda qu, qv, k, v, p, kv, seed, scale, rate, _i: orig(
+            qu, qv, k, v, p, kv, seed, scale, rate, True))
+    from liteasr_tpu.nets.attention import RelativeMultiHeadAttention
+
+    return RelativeMultiHeadAttention(n_head=2, dropout_rate=0.0)
+
+
+def test_flash_debug_mask_contract(rng, monkeypatch):
+    """LITEASR_FLASH_DEBUG=1 asserts the suffix-contiguity CONTRACT of
+    _flash_train's mask->kv_lens compression (ADVICE r2 #2): a suffix
+    padding mask passes, a structured mask with a hole must raise."""
+    monkeypatch.setenv("LITEASR_FLASH_DEBUG", "1")
+    m = _rel_mha_with_flash_train(monkeypatch)
+
+    B, T, D = 2, 24, 16
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(1, T, D)), jnp.float32)
+    suffix = (jnp.arange(T)[None, None, None, :]
+              >= jnp.array([T, T - 7])[:, None, None, None])
+    params = m.init({"params": jax.random.PRNGKey(0)}, x, x, x, pos,
+                    mask=suffix, train=True)
+    np.asarray(m.apply(params, x, x, x, pos, mask=suffix, train=True))
+
+    bad = suffix.at[1, 0, 0, 3].set(True)  # hole: True before valid keys
+    with pytest.raises(Exception, match="suffix-contiguity|callback"):
+        np.asarray(m.apply(params, x, x, x, pos, mask=bad, train=True))
+
+
+def test_flash_debug_off_by_default(rng, monkeypatch):
+    """Without the debug flag the structured mask is NOT checked (the cheap
+    production path) — the gate lives in _use_flash_train shape policy."""
+    monkeypatch.delenv("LITEASR_FLASH_DEBUG", raising=False)
+    m = _rel_mha_with_flash_train(monkeypatch)
+
+    B, T, D = 2, 24, 16
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(1, T, D)), jnp.float32)
+    suffix = (jnp.arange(T)[None, None, None, :]
+              >= jnp.array([T, T - 7])[:, None, None, None])
+    params = m.init({"params": jax.random.PRNGKey(0)}, x, x, x, pos,
+                    mask=suffix, train=True)
+    np.asarray(m.apply(params, x, x, x, pos, mask=suffix, train=True))
