@@ -59,7 +59,7 @@ def main():
     jax.config.update("jax_default_prng_impl", "rbg")
 
     sections = set(sys.argv[1:]) or {"attention", "flash", "rel_shift",
-                                     "bn", "ln", "conv", "opt"}
+                                     "bn", "ln", "conv", "sub", "opt"}
     rng = np.random.default_rng(0)
 
     def f32(*shape):
@@ -279,6 +279,68 @@ def main():
             return jax.grad(loss)(vs["params"])
 
         report("conv module fwd+bwd", bench(conv_fb, vs, x))
+
+    # ---------------------------------------------------------------- sub
+    if "sub" in sections:
+        # The conv2d front-end is ~27% of encoder matmul FLOPs (bench.py
+        # train_step_flops: the 9x39x256x256 second conv). A/B the native
+        # XLA conv lowering against an im2col GEMM formulation that maps
+        # the 3x3 window onto one (B*T'*F', 9C) x (9C, C) MXU matmul.
+        from liteasr_tpu.nets.subsampling import Conv2DSubsampling
+
+        TT, F = 800, 80
+        print(f"[sub]  front-end (B,T,F) = ({B},{TT},{F}) -> C={C}",
+              flush=True)
+        x0 = bf16(B, TT, F)
+        mod = Conv2DSubsampling(o_dim=C, dtype=jnp.bfloat16)
+        vs = mod.init(jax.random.PRNGKey(0), x0)
+
+        def fb(apply):
+            def loss(p, x):
+                return (apply(p, x).astype(jnp.float32) ** 2).mean()
+
+            return jax.jit(jax.grad(loss))
+
+        report("nn.Conv fwd", bench(
+            jax.jit(lambda p, x: mod.apply(p, x)), vs, x0))
+        report("nn.Conv fwd+bwd", bench(
+            fb(lambda p, x: mod.apply(p, x)), vs, x0))
+
+        def im2col(x, w, stride=2):
+            # x: (B, T, F, Cin), w: (3, 3, Cin, Cout) VALID
+            bt, t, f, cin = x.shape
+            to = (t - 3) // stride + 1
+            fo = (f - 3) // stride + 1
+            cols = [x[:, di:di + stride * to:stride,
+                      dj:dj + stride * fo:stride, :]
+                    for di in range(3) for dj in range(3)]
+            patches = jnp.concatenate(cols, axis=-1)  # (B, To, Fo, 9*Cin)
+            return patches.reshape(bt, to, fo, 9 * cin) @ \
+                w.reshape(9 * cin, -1)
+
+        def sub_gemm(p, x):
+            pr = p["params"]
+            x = x[..., None]
+            w1 = pr["conv1"]["kernel"].astype(jnp.bfloat16)
+            b1 = pr["conv1"]["bias"].astype(jnp.bfloat16)
+            w2 = pr["conv2"]["kernel"].astype(jnp.bfloat16)
+            b2 = pr["conv2"]["bias"].astype(jnp.bfloat16)
+            x = jax.nn.relu(im2col(x, w1) + b1)
+            x = jax.nn.relu(im2col(x, w2) + b2)
+            b, t, f, c = x.shape
+            x = x.reshape(b, t, f * c)
+            wd = pr["out"]["kernel"].astype(jnp.bfloat16)
+            bd = pr["out"]["bias"].astype(jnp.bfloat16)
+            return x @ wd + bd
+
+        # parity first (same weights, same math up to fusion order)
+        a = np.asarray(jax.jit(lambda p, x: mod.apply(p, x))(vs, x0),
+                       np.float32)
+        bb = np.asarray(jax.jit(sub_gemm)(vs, x0), np.float32)
+        err = float(np.max(np.abs(a - bb)))
+        print(f"  im2col parity max|d| = {err:.4f} (bf16 scale)", flush=True)
+        report("im2col GEMM fwd", bench(jax.jit(sub_gemm), vs, x0))
+        report("im2col GEMM fwd+bwd", bench(fb(sub_gemm), vs, x0))
 
     # --------------------------------------------------------------- opt
     if "opt" in sections:
