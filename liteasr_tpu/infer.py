@@ -117,7 +117,8 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
                 mode=infer_cfg.get("mode", "attention_rescore"))
         for a, hyp_ids in zip(chunk, hyps):
             hyp = task.ids_to_text(hyp_ids)
-            ref = a.text
+            ref = task.normalize_ref(a.text) \
+                if hasattr(task, "normalize_ref") else a.text
             if collect is not None:
                 collect.append((ref, hyp))
             err = levenshtein(ref, hyp)

@@ -73,6 +73,23 @@ class ASRTask(LiteasrTask):
             return "".join(tokens)
         return self.cfg.delimiter.join(tokens)
 
+    def normalize_ref(self, text: str) -> str:
+        """Render a raw transcript the way ``ids_to_text`` renders
+        hypotheses (``<space>`` -> " ") so ref/hyp comparisons are
+        apples-to-apples. The reference compares the RAW text against the
+        rendered hypothesis (liteasr/infer.py:54-60, dataclass/vocab.py:
+        66-76), which miscounts every ``<space>`` token as an edit on
+        space-delimited corpora; normalizing the ref through the same
+        rendering rule removes that artifact without hiding real errors.
+        """
+        if self.cfg.delimiter is None:
+            return text
+        from liteasr_tpu.data.vocab import SPACE
+
+        toks = [" " if t == SPACE else t
+                for t in text.split(self.cfg.delimiter)]
+        return self.cfg.delimiter.join(toks)
+
     def inference(self, x, model, variables):
         """Single-utterance decode helper (the batched path is in decode.py)."""
         from liteasr_tpu import decode

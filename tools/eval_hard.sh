@@ -11,7 +11,7 @@ REPO="$PWD"
 RUN="${1:?run dir}"
 EP="${2:?last epoch}"
 AVG="${3:-5}"
-OUT="$RUN/eval"
+OUT="$RUN/eval_ep$EP"
 mkdir -p "$OUT"
 
 run_infer() {  # name, extra overrides...

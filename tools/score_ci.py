@@ -33,8 +33,10 @@ def load(path, delimiter):
                 refs.append(list(ref))
                 hyps.append(list(hyp))
             else:
-                refs.append(ref.split(delimiter))
-                hyps.append(hyp.split(delimiter))
+                # drop empty fields: a rendered ``<space>`` unit becomes a
+                # bare " " which splits into empties on both sides
+                refs.append([t for t in ref.split(delimiter) if t])
+                hyps.append([t for t in hyp.split(delimiter) if t])
     return refs, hyps
 
 
