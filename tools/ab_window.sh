@@ -16,10 +16,10 @@ export PYTHONPATH="$REPO:/root/.axon_site"
 OUT="${1:-/tmp/ab_window}"
 mkdir -p "$OUT"
 
-timeout 2400 python tools/profile_microops.py flash attention rel_shift \
+timeout 3000 python tools/profile_microops.py flash attention rel_shift sub \
   > "$OUT/microops.txt" 2>&1
 # long-context regime the re-tiled backward targets: 60-s utterances
-PROF_T=1600 PROF_B=4 timeout 2400 python tools/profile_microops.py flash \
+PROF_T=1600 PROF_B=4 timeout 3600 python tools/profile_microops.py flash \
   > "$OUT/microops_longT.txt" 2>&1
 timeout 2400 python bench.py > "$OUT/bench_flash_off.json" 2>"$OUT/bench_off.err"
 LITEASR_FLASH_TRAIN=1 timeout 2400 python bench.py \
