@@ -1,24 +1,28 @@
 #!/bin/bash
-# wav2vec 2.0 pretraining convergence run on the synthetic raw-wave corpus
-# (tools/make_synth_waves.py). Full base operating point (reference
-# liteasr/models/wav2vec2.py defaults): 12L/768d/3072FF/12H context net,
-# conv extractor /320, Gumbel-VQ 2x320 codebook, 100 negatives, bf16.
-# Evidence target: valid contrastive accuracy >> 1/101 chance.
+# wav2vec 2.0 pretraining convergence run on the 54 h synthetic raw-wave
+# corpus (tools/make_synth_waves.py -> exp/synth_waves_xl). Proven recipe
+# from round 3 (BENCHMARKS.md "wav2vec 2.0 pretraining convergence"):
+# base operating point (reference liteasr/models/wav2vec2.py defaults),
+# diversity_weight=1.0 (the anti-collapse fix), Adam lr 2e-4, bf16,
+# clip 5.0, resume=auto so the leg survives tunnel drops.
+# Evidence target: valid contrastive accuracy >> 1/101 chance, to plateau.
 set -e
 cd "$(dirname "$0")/.."
 REPO="$PWD"
-RUN="${1:-$REPO/exp/pretrain_run}"
-CORPUS="$REPO/exp/synth_waves"
-EPOCHS="${2:-60}"
+RUN="${1:-$REPO/exp/pretrain_run4}"
+CORPUS="${CORPUS:-$REPO/exp/synth_waves_xl}"
+EPOCHS="${2:-36}"
 mkdir -p "$RUN"
 
 # LITEASR_HARD_TIMEOUT_S: absolute wall-clock kill so no launcher can run
 # into a round boundary and poison the driver bench capture (VERDICT r3 #1a).
-PYTHONPATH="$REPO:/root/.axon_site" exec timeout --signal=TERM --kill-after=120 "${LITEASR_HARD_TIMEOUT_S:-14400}" python -m liteasr_tpu.train \
+PYTHONPATH="$REPO:/root/.axon_site" exec timeout --signal=TERM --kill-after=120 "${LITEASR_HARD_TIMEOUT_S:-10800}" python -m liteasr_tpu.train \
   task=pretrain model=wav2vec2 criterion=wav2vec optimizer=my_adam \
-  optimizer.lr=2e-4 criterion.diversity_weight=0.1 \
+  optimizer.lr=2e-4 criterion.diversity_weight=1.0 \
   task.train="$CORPUS/train" task.valid="$CORPUS/valid" \
   task.save_dir="$RUN/ckpts" common.run_dir="$RUN" \
-  model.dtype=bfloat16 \
+  common.compile_cache_dir="$REPO/exp/.jax_cache" common.resume=auto \
+  'common.trigger=[{name: report_loss, interval: 100, unit: iteration}, {name: valid, interval: 1, unit: epoch}, {name: save_model, interval: 2, unit: epoch}]' \
+  model.dtype=bfloat16 optimization.fused_step=true \
   optimization.max_epoch="$EPOCHS" optimization.accum_grad=1 \
   optimization.clip_grad_norm=5.0
