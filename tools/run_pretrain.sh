@@ -1,6 +1,10 @@
 #!/bin/bash
 # wav2vec 2.0 pretraining convergence run on the 54 h synthetic raw-wave
-# corpus (tools/make_synth_waves.py -> exp/synth_waves_xl). Proven recipe
+# corpus. Regenerate it after a machine replacement with:
+#   python tools/make_synth_waves.py --out exp/synth_waves_xl \
+#     --train-utts 52000 --valid-utts 200 --seed 0
+# (52k utts x avg 3.75 s = 54.2 h; ~2,279 Wav2VecBatch steps/epoch,
+# matching the round-3 run's 2,272 within batching noise). Proven recipe
 # from round 3 (BENCHMARKS.md "wav2vec 2.0 pretraining convergence"):
 # base operating point (reference liteasr/models/wav2vec2.py defaults),
 # diversity_weight=1.0 (the anti-collapse fix), Adam lr 2e-4, bf16,
