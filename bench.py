@@ -35,6 +35,7 @@ Measurement protocol (defends the recorded number):
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -42,7 +43,11 @@ import numpy as np
 ASSUMED_REF_UTT_PER_SEC = 25.0  # per-GPU PyTorch reference (documented guess)
 TARGET_MULTIPLIER = 5.0
 
-B, T, D, U = 32, 800, 80, 48
+# Geometry is env-overridable for operating-point studies (BENCHMARKS.md
+# "Utilization wall"); the driver's official capture uses the defaults.
+B = int(os.environ.get("BENCH_B", 32))
+T = int(os.environ.get("BENCH_T", 800))
+D, U = 80, int(os.environ.get("BENCH_U", 48))
 WARMUP, ITERS, REPS = 5, 10, 5
 HOST_LOAD_THRESHOLD = 0.5  # 1-min loadavg; this host has a single core
 LOAD_WAIT_MAX_S = 600  # wait up to 10 min for a loaded host to go idle
@@ -291,6 +296,8 @@ def main():
                 fromlist=["flash_train_available"]).flash_train_available(),
         },
     }
+    if (B, T, U) != (32, 800, 48):  # operating-point study, not the
+        out["geometry"] = {"B": B, "T": T, "U": U}  # official capture
     if host_load is not None and host_load > HOST_LOAD_THRESHOLD:
         out["host_load_warning"] = host_load
     print(json.dumps(out))
