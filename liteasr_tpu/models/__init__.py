@@ -36,6 +36,14 @@ class LiteasrModel(nn.Module):
     def get_target_len(self, ylens):
         return ylens
 
+    def post_init_params(self, params):
+        """Hook for init edits flax initializers cannot express (e.g. the
+        transducer's LSTM forget-bias=1, reference
+        liteasr/nets/initialization.py:50-55). Default: identity. Applied by
+        the trainer to freshly initialized params only — checkpoints resume
+        past it."""
+        return params
+
     @classmethod
     def build_model(cls, cfg, task=None) -> "LiteasrModel":
         raise NotImplementedError

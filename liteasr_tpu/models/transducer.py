@@ -136,6 +136,13 @@ class Transducer(LiteasrModel):
     def decoder_step(self, tok, state):
         return self.decoder.step(tok, state)
 
+    def post_init_params(self, params):
+        """Reference _init_module (transducer.py:243-251): forget-gate bias
+        of every prediction-network LSTM layer initialized to 1."""
+        from liteasr_tpu.nets.rnn_decoder import forget_bias_ones
+
+        return {**params, "decoder": forget_bias_ones(params["decoder"])}
+
     # ---- criterion hooks (transducer.py:208-218) ----
 
     def get_pred_len(self, xlens):

@@ -56,6 +56,10 @@ class Wav2Vec2Config(LiteasrDataclass):
 
     mask_length: int = 10
     mask_prob: float = 0.65
+    # span-width policy (reference mask.py:93-230; the reference model pins
+    # 'static' with its selection knob commented out, wav2vec2.py:138-144)
+    mask_policy: str = "static"
+    mask_other: float = 0.0
     no_mask_overlap: bool = False
     mask_min_space: int = 1
 
@@ -72,14 +76,23 @@ class Wav2Vec2Config(LiteasrDataclass):
 
 def device_span_mask(rng, batch: int, frame: int, prob: float, length: int,
                      min_mask_num: int = 2,
-                     flens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Static-policy span mask on device (True = masked).
+                     flens: Optional[jnp.ndarray] = None,
+                     policy: str = "static",
+                     other: float = 0.0) -> jnp.ndarray:
+    """Span mask on device (True = masked), all four reference width
+    policies (liteasr/utils/mask.py:93-230, overlap allowed):
 
-    Equivalent to the reference's numpy span_mask with policy='static' and
-    overlap allowed (liteasr/utils/mask.py:93-230), except the span count is
-    the deterministic expectation (fixed shapes under jit) and per-row masked
-    counts are not equalized — downstream losses weight by the mask instead
-    of gathering.
+    * static  — every span is exactly ``length`` wide
+    * uniform — widths ~ U{0, .., 2*length} (reference randint bound)
+    * normal  — widths ~ max(1, round(N(length, other)))
+    * poisson — widths ~ Poisson(length)
+
+    Deviations from the host/numpy path, both required by static shapes
+    under jit: the span count is the deterministic expectation of the
+    reference's stochastically rounded ``int(prob*frame/length + rand())``
+    (tests/test_wav2vec2.py A/Bs the resulting masked-frame distribution
+    against the host oracle), and per-row masked counts are not equalized —
+    downstream losses weight by the mask instead of gathering.
 
     ``flens`` (per-row valid frame counts) restricts spans to the valid
     region and keeps the mask off padding. Randomness is folded in per row,
@@ -88,13 +101,43 @@ def device_span_mask(rng, batch: int, frame: int, prob: float, length: int,
     mask_num = max(min_mask_num, int(prob * frame / float(length) + 0.5))
     if flens is None:
         flens = jnp.full((batch,), frame, jnp.int32)
-    span_max = jnp.maximum(flens - length, 1).astype(jnp.float32)  # (B,)
     row_keys = jax.vmap(jax.random.fold_in, (None, 0))(
         rng, jnp.arange(batch))
+
+    def row_widths(k):
+        if policy == "static":
+            return jnp.full((mask_num,), length, jnp.int32)
+        if policy == "uniform":
+            return jax.random.randint(k, (mask_num,), 0, 2 * length + 1)
+        if policy == "normal":
+            w = jax.random.normal(k, (mask_num,)) * other + length
+            return jnp.maximum(1, jnp.round(w)).astype(jnp.int32)
+        if policy == "poisson":
+            # inverse-CDF over a truncated support: jax.random.poisson only
+            # supports the threefry PRNG, but production training runs the
+            # TPU-fast rbg impl (config common.prng_impl). Support capped at
+            # 4*lambda + 16 (tail mass < 1e-12 at lambda = mask_length).
+            support = jnp.arange(4 * length + 16)
+            logpmf = (support * jnp.log(float(length)) - length
+                      - jax.lax.lgamma(support.astype(jnp.float32) + 1.0))
+            cdf = jnp.cumsum(jnp.exp(logpmf))
+            u = jax.random.uniform(k, (mask_num,))
+            return jnp.searchsorted(cdf, u * cdf[-1]).astype(jnp.int32)
+        raise ValueError(f"unknown mask selection {policy}")
+
+    # widths draw from a split key so the static path (no width randomness)
+    # produces bit-identical masks to the pre-policy implementation
+    w_key = jax.random.split(rng)[1]
+    w_keys = jax.vmap(jax.random.fold_in, (None, 0))(w_key, jnp.arange(batch))
+    widths = jax.vmap(row_widths)(w_keys)  # (B, M)
+    # reference start range: [0, frame - min_span); per-row valid region here
+    min_span = jnp.min(widths, axis=1)  # (B,)
+    span_max = jnp.maximum(flens - min_span, 1).astype(jnp.float32)  # (B,)
     u = jax.vmap(lambda k: jax.random.uniform(k, (mask_num,)))(row_keys)
     starts = jnp.floor(u * span_max[:, None]).astype(jnp.int32)  # (B, M)
     pos = jnp.arange(frame)[None, None, :]  # (1, 1, F)
-    in_span = (pos >= starts[:, :, None]) & (pos < starts[:, :, None] + length)
+    in_span = (pos >= starts[:, :, None]) & (
+        pos < starts[:, :, None] + widths[:, :, None])
     return in_span.any(axis=1) & (jnp.arange(frame)[None, :] < flens[:, None])
 
 
@@ -117,6 +160,8 @@ class Wav2Vec2(LiteasrModel):
     latent_dim: int = 0
     mask_length: int = 10
     mask_prob: float = 0.65
+    mask_policy: str = "static"
+    mask_other: float = 0.0
     num_negatives: int = 100
     negatives_from_everywhere: bool = False
     conv_pos: int = 128
@@ -198,7 +243,8 @@ class Wav2Vec2(LiteasrModel):
             mask_rng = jax.random.PRNGKey(0)
         mask = device_span_mask(
             mask_rng, B, F, self.mask_prob, self.mask_length,
-            flens=flens)  # (B, F)
+            flens=flens, policy=self.mask_policy,
+            other=self.mask_other)  # (B, F)
         x = jnp.where(mask[:, :, None],
                       self.mask_emb[None, None, :].astype(features.dtype),
                       features)
@@ -325,6 +371,8 @@ class Wav2Vec2(LiteasrModel):
             latent_dim=cfg.latent_dim,
             mask_length=cfg.mask_length,
             mask_prob=cfg.mask_prob,
+            mask_policy=str(cfg.get("mask_policy", "static")),
+            mask_other=float(cfg.get("mask_other", 0.0)),
             num_negatives=cfg.num_negatives,
             negatives_from_everywhere=cfg.negatives_from_everywhere,
             conv_pos=cfg.conv_pos,

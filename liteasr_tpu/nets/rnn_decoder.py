@@ -22,8 +22,13 @@ class RNNDecoder(nn.Module):
 
     def setup(self):
         # reference init: embed ~ N(0, 1), linears lecun-normal (the flax
-        # default); the LSTM forget-bias=1 detail is left to flax defaults
-        # (liteasr/models/transducer.py:243-251)
+        # default). The LSTM forget-bias=1 detail (reference
+        # nets/initialization.py:50-55 via models/transducer.py:243-251 sets
+        # the f quarter of bias_ih to 1; bias_hh stays zero) is NOT a flax
+        # default — flax zero-inits every gate bias — so it is applied by
+        # ``forget_bias_ones`` below as a post-init params edit. flax's
+        # OptimizedLSTMCell carries its only bias on the h-side gates
+        # ('hf'), so hf.bias = 1 gives the identical effective forget bias.
         self.embed = nn.Embed(
             self.vocab_size, self.h_dim, dtype=self.dtype,
             embedding_init=nn.initializers.normal(stddev=1.0))
@@ -55,3 +60,18 @@ class RNNDecoder(nn.Module):
             carry, h = self.rnns[i].cell(tuple(state[i]), h)
             new_state.append(carry)
         return h, new_state
+
+
+def forget_bias_ones(dec_params: dict) -> dict:
+    """Set every LSTM layer's forget-gate bias to 1 in an RNNDecoder params
+    subtree (reference nets/initialization.py:50-55: bias_ih[n/4:n/2] = 1,
+    torch gate order i,f,g,o -> the f gate). Returns a new tree."""
+    out = dict(dec_params)
+    for name, sub in dec_params.items():
+        if name.startswith("rnn_") and "cell" in sub:
+            cell = dict(sub["cell"])
+            hf = dict(cell["hf"])
+            hf["bias"] = jnp.ones_like(hf["bias"])
+            cell["hf"] = hf
+            out[name] = {**sub, "cell": cell}
+    return out

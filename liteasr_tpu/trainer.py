@@ -176,7 +176,9 @@ class Trainer:
         self._base_dropout_key = jax.random.fold_in(rng, 1)
         init_batch = self._apply_frontend(train_set.collator(train_set[0]))
         variables = criterion.init_variables(model, rng, init_batch)
-        params = variables["params"]
+        # init edits flax initializers cannot express (LSTM forget-bias=1);
+        # resume overwrites params wholesale, so this touches fresh inits only
+        params = model.post_init_params(variables["params"])
         batch_stats = variables.get("batch_stats", {})
         n_params = sum(x.size for x in jax.tree.leaves(params))
         logger.info("model parameters: %.2fM", n_params / 1e6)

@@ -102,3 +102,26 @@ def test_transducer_training_e2e(tiny_corpus, tmp_path):
     ])
     trainer = train(cfg)
     assert trainer.epoch == 1 and trainer.iter > 0
+
+
+def test_forget_bias_ones(tiny_transducer):
+    """post_init_params sets every LSTM forget-gate bias to 1 and nothing
+    else (reference nets/initialization.py:50-55: the f quarter of bias_ih;
+    flax's only LSTM bias lives on the h-side gates, so hf.bias = 1 is the
+    equivalent edit)."""
+    model, variables, _, _ = tiny_transducer
+    params = model.post_init_params(variables["params"])
+    n_cells = 0
+    for name, sub in params["decoder"].items():
+        if not name.startswith("rnn_"):
+            continue
+        n_cells += 1
+        cell = sub["cell"]
+        assert np.all(np.asarray(cell["hf"]["bias"]) == 1.0)
+        for gate in ("hi", "hg", "ho"):
+            assert np.all(np.asarray(cell[gate]["bias"]) == 0.0)
+    assert n_cells == 1  # dec_layers=1 in the fixture
+    # everything outside the LSTM biases is untouched
+    same = jax.tree.map(np.array_equal, params["encoder"],
+                        variables["params"]["encoder"])
+    assert all(jax.tree.leaves(same))
