@@ -59,6 +59,12 @@ class CommonConfig(LiteasrDataclass):
     # persistent XLA executable cache (default ~/.cache/liteasr_jax_cache);
     # remote-tunnel compiles cost 1-4 min per shape bucket otherwise
     compile_cache_dir: Optional[str] = None
+    # durable per-run results artifact (VERDICT r4 "evidence durability"):
+    # when set, the trainer appends machine-readable JSONL rows — one
+    # run_meta row at startup (argv, config hash, param count) and one
+    # valid row per validation — so run evidence survives the run_dir.
+    # Point it inside the git repo (e.g. results/<run>.jsonl) and commit.
+    results_file: Optional[str] = None
 
 
 @dataclass

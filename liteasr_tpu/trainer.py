@@ -204,6 +204,7 @@ class Trainer:
         )
         self.state = jax.device_put(state, self._state_sharding)
         self._maybe_resume()
+        self._emit_run_meta(n_params)
 
         # ---- on-device SpecAugment (ops/spec_augment.py) ----
         pp = cfg.get("postprocess") or {}
@@ -437,6 +438,47 @@ class Trainer:
         logger.info("training finished in %.1fs (%d iters, %d epochs)",
                     time.time() - t0, self.iter, self.epoch)
 
+    # ----------------------------------------------- durable results rows
+
+    def _results_append(self, row: dict):
+        """Append one JSONL row to common.results_file (master only).
+
+        Evidence durability (VERDICT r4): run_dir lives on ephemeral hosts;
+        pointing results_file inside the git repo makes per-epoch metrics
+        and run provenance survive machine replacement. No reference
+        counterpart — the reference's only record is train.log prose."""
+        import json
+        import os
+
+        path = self.cfg.common.get("results_file")
+        if not path or not is_master():
+            return
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps({"ts": round(time.time(), 1), **row}) + "\n")
+
+    def _emit_run_meta(self, n_params: int):
+        import hashlib
+        import sys
+
+        from liteasr_tpu.config.core import to_yaml
+
+        try:
+            cfg_yaml = to_yaml(self.cfg)
+        except Exception:  # results must never break training
+            cfg_yaml = ""
+        self._results_append({
+            "kind": "run_meta",
+            "argv": sys.argv[1:],
+            "config_sha1": hashlib.sha1(cfg_yaml.encode()).hexdigest()[:12],
+            "model": type(self.model).__name__,
+            "criterion": type(self.criterion).__name__,
+            "n_params": int(n_params),
+            "run_dir": self.cfg.common.run_dir,
+            "resumed_from_iter": self.iter,
+        })
+
     # ------------------------------------------------------- event bodies
 
     def report_loss(self):
@@ -480,6 +522,11 @@ class Trainer:
             "%s / %s iters, %s / %s epochs - valid loss: %.2f%s",
             self.iter, self.max_iter, self.epoch, self.max_epoch, reduced,
             suffix)
+        row = {"kind": "valid", "iter": int(self.iter),
+               "epoch": int(self.epoch), "valid_loss": reduced}
+        if extras and extras[0]:
+            row.update({k: round(v, 6) for k, v in means.items()})
+        self._results_append(row)
 
     def save_model(self):
         # the gather is a collective when shards span processes (tp axis):

@@ -34,7 +34,8 @@ def _tiny_cfg(tiny_corpus, tmp_path, extra=()):
 
 
 def test_train_two_epochs(tiny_corpus, tmp_path):
-    cfg = _tiny_cfg(tiny_corpus, tmp_path)
+    cfg = _tiny_cfg(tiny_corpus, tmp_path, extra=[
+        f"common.results_file={tmp_path / 'results.jsonl'}"])
     from liteasr_tpu.train import setup_logging
 
     setup_logging(str(tmp_path))
@@ -56,6 +57,17 @@ def test_train_two_epochs(tiny_corpus, tmp_path):
     assert len(parse_valid_losses(str(tmp_path / "train.log"))) == 2
     # resolved config persisted for liteasr-infer --config-dir
     assert (tmp_path / "config.yaml").exists()
+    # durable results artifact (common.results_file): one run_meta row plus
+    # one valid row per epoch, machine-readable
+    import json
+
+    rows = [json.loads(line) for line in
+            (tmp_path / "results.jsonl").read_text().splitlines()]
+    assert rows[0]["kind"] == "run_meta" and rows[0]["n_params"] > 0
+    valid_rows = [r for r in rows if r["kind"] == "valid"]
+    assert [r["epoch"] for r in valid_rows] == [1, 2]
+    assert all(np.isfinite(r["valid_loss"]) for r in valid_rows)
+    assert all("ctc_infeasible" in r for r in valid_rows)
 
     # ---- infer: averaged checkpoint + device-batched rescore decoding ----
     from liteasr_tpu.infer import main as infer_main

@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--delimiter", default=" ",
                     help="token delimiter; 'none' for char-level")
     ap.add_argument("--boot", type=int, default=10000)
+    ap.add_argument("--json-out", default=None,
+                    help="append the scored numbers as one JSONL row "
+                         "(durable results artifact, VERDICT r4 #6)")
     args = ap.parse_args()
     delim = None if args.delimiter == "none" else args.delimiter
 
@@ -75,6 +78,9 @@ def main():
     print(f"{args.dump}: {100*rate:.2f}% token error "
           f"[{100*lo:.2f}, {100*hi:.2f}] 95% CI  "
           f"({int(errs.sum())} / {int(lens.sum())} over {len(errs)} utts)")
+    row = {"kind": "score_ci", "dump": args.dump, "n_utts": len(errs),
+           "rate": round(float(rate), 6),
+           "ci95": [round(float(lo), 6), round(float(hi), 6)]}
 
     if args.vs:
         refs2, hyps2 = load(args.vs, delim)
@@ -96,6 +102,19 @@ def main():
         print(f"paired diff (A-B): {100*(rate-rate2):+.2f}pp "
               f"[{100*dlo:+.2f}, {100*dhi:+.2f}] 95% CI, "
               f"two-sided p≈{max(p, 1/args.boot):.4f}")
+        row.update({
+            "vs": args.vs, "vs_rate": round(float(rate2), 6),
+            "vs_ci95": [round(float(lo2), 6), round(float(hi2), 6)],
+            "diff": round(float(rate - rate2), 6),
+            "diff_ci95": [round(float(dlo), 6), round(float(dhi), 6)],
+            "p_two_sided": round(float(max(p, 1 / args.boot)), 6)})
+
+    if args.json_out:
+        import json
+        import time
+
+        with open(args.json_out, "a") as f:
+            f.write(json.dumps({"ts": round(time.time(), 1), **row}) + "\n")
 
 
 if __name__ == "__main__":
