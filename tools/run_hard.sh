@@ -19,6 +19,7 @@ mkdir -p "$RUN"
 case "$FAMILY" in
   u2)        MODEL="model=my_U2 criterion=my_hybrid_ctc" ;;
   transducer) MODEL="model=my_transducer criterion=my_rnnt" ;;
+  paraformer) MODEL="model=Paraformer criterion=paraformer_loss" ;;
   *) echo "unknown family $FAMILY"; exit 1 ;;
 esac
 
