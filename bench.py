@@ -303,5 +303,29 @@ def main():
     print(json.dumps(out))
 
 
+def _watchdog():
+    """Fail loudly instead of hanging forever: the remote-execution tunnel
+    can wedge (dispatches never return — observed 2026-08-19/20, never
+    self-heals). A silent hang poisons automated captures; after
+    BENCH_WATCHDOG_S (default 45 min, generous vs ~8 min healthy runtime
+    incl. cold compiles) emit an error JSON line and hard-exit."""
+    import threading
+
+    limit = float(os.environ.get("BENCH_WATCHDOG_S", 2700))
+
+    def fire():
+        print(json.dumps({
+            "metric": "train_utts_per_sec_per_chip", "value": 0.0,
+            "unit": "utt/s", "vs_baseline": 0.0,
+            "error": f"watchdog: no result after {limit:.0f}s — "
+                     "TPU tunnel wedged or compile stuck"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(limit, fire)
+    t.daemon = True
+    t.start()
+
+
 if __name__ == "__main__":
+    _watchdog()
     main()
