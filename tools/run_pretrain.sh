@@ -29,4 +29,5 @@ PYTHONPATH="$REPO:/root/.axon_site" exec timeout --signal=TERM --kill-after=120 
   'common.trigger=[{name: report_loss, interval: 100, unit: iteration}, {name: valid, interval: 1, unit: epoch}, {name: save_model, interval: 2, unit: epoch}]' \
   model.dtype=bfloat16 optimization.fused_step=true \
   optimization.max_epoch="$EPOCHS" optimization.accum_grad=1 \
-  optimization.clip_grad_norm=5.0
+  optimization.clip_grad_norm=5.0 \
+  common.results_file="${RESULTS:-$REPO/results/pretrain_r5.jsonl}" "$@"
