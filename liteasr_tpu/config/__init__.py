@@ -175,6 +175,13 @@ class InferenceConfig(LiteasrDataclass):
     batch_size: int = 8  # utterances decoded per device batch
     beam_size: int = 10
     ctc_weight: float = 0.5
+    # transducer beam: non-blank expansion rounds per encoder frame. The
+    # reference's per-frame best-first loop (transducer.py:150-200) expands
+    # until beam_size blanks are collected, so dense frames can emit several
+    # labels; 2 caps emissions at 1/frame and starves label-dense corpora
+    # (measured +4.45pp vs greedy before the fix — see BENCHMARKS.md).
+    # 5 mirrors transducer_greedy's max_symbols_per_frame.
+    expansions_per_frame: int = 5
 
 
 @dataclass

@@ -660,17 +660,23 @@ def transducer_beam_search_utt(model, variables, x,
 
 def transducer_beam_search(model, variables, xs, xlens,
                            beam_size: int = 10,
-                           expansions_per_frame: int = 2,
+                           expansions_per_frame: int = 5,
                            max_output_len: Optional[int] = None):
     """Batched time-synchronous RNN-T beam search, fully on device.
 
     A fixed-shape reformulation of the reference's per-frame best-first
-    expansion (liteasr/models/transducer.py:137-206): each frame runs
-    ``expansions_per_frame`` rounds where every beam proposes a blank
-    candidate (ends the frame; merged into a top-K finished set) and top-K
-    non-blank extensions (advance the prediction network). Final pick is
-    length-normalized like the reference (:203-205). No prefix merging —
-    matching the reference, which also keeps duplicate prefixes apart.
+    expansion (liteasr/models/transducer.py:137-206): each frame runs up to
+    ``expansions_per_frame`` emission rounds where every beam proposes a
+    blank candidate (ends the frame; merged into a top-K finished set) and
+    top-K non-blank extensions (advance the prediction network). The
+    reference's while-loop expands until ``beam_size`` blanks are
+    collected, so label-dense frames may emit several symbols; capping
+    emissions at 1/frame (the old default, E=2 rounds) measurably starved
+    dense corpora (+4.45pp vs greedy, BENCHMARKS.md round 5) — the default
+    now matches ``transducer_greedy``'s ``max_symbols_per_frame=5``.
+    Final pick is length-normalized like the reference (:203-205). No
+    prefix merging — matching the reference, which also keeps duplicate
+    prefixes apart.
 
     Returns a list of token-id lists.
     """
@@ -712,7 +718,7 @@ def transducer_beam_search(model, variables, xs, xlens,
             fin["scores"] = jnp.full((B, K), -jnp.inf)
             cur = beams
 
-            for e in range(E):
+            for e in range(E + 1):
                 flat_last = cur["last"].reshape(B * K)
                 flat_lstm = jax.tree.map(
                     lambda x: x.reshape(B * K, *x.shape[2:]), cur["lstm"])
@@ -742,7 +748,7 @@ def transducer_beam_search(model, variables, xs, xlens,
                     {k: v for k, v in merged.items()}, top_idx)
                 fin["scores"] = top_sc
 
-                if e == E - 1:
+                if e == E:
                     break
 
                 # non-blank expansions: top-P tokens per beam -> global top-K

@@ -92,7 +92,9 @@ def infer_dataset(task, model, variables, dataset, infer_cfg,
                 hyps = decode.transducer_greedy(model, variables, xs, xlens)
             else:  # beam search is the reference default (transducer.py:137)
                 hyps = decode.transducer_beam_search(
-                    model, variables, xs, xlens, beam_size=beam_size)
+                    model, variables, xs, xlens, beam_size=beam_size,
+                    expansions_per_frame=int(
+                        infer_cfg.get("expansions_per_frame", 5)))
         elif hasattr(model, "decode"):  # paraformer: CIF + argmax
             hyps = decode.paraformer_decode(model, variables, xs, xlens)
         elif str(infer_cfg.get("mode", "")).startswith("streaming"):
