@@ -19,7 +19,13 @@ mkdir -p "$RUN"
 case "$FAMILY" in
   u2)        MODEL="model=my_U2 criterion=my_hybrid_ctc" ;;
   transducer) MODEL="model=my_transducer criterion=my_rnnt" ;;
-  paraformer) MODEL="model=Paraformer criterion=paraformer_loss" ;;
+  # the round-3 glancing schedule + honest eval are part of the recipe:
+  # without them pure-CIF decode degenerates (BENCHMARKS.md round 2; the
+  # fixed-0.75 rerun on this corpus read 129% token error) — anneal
+  # 0.75 -> 0.1 so the decoder must learn to read CIF vectors alone
+  paraformer) MODEL="model=Paraformer criterion=paraformer_loss
+    model.sample_ratio_end=0.1 model.sample_ratio_decay_steps=4000
+    model.glance_at_eval=false" ;;
   *) echo "unknown family $FAMILY"; exit 1 ;;
 esac
 
