@@ -16,6 +16,7 @@ REPO="$PWD"
 RUN="${1:-$REPO/exp/pretrain_run4}"
 CORPUS="${CORPUS:-$REPO/exp/synth_waves_xl}"
 EPOCHS="${2:-36}"
+shift $(( $# > 2 ? 2 : $# ))   # remaining args pass through as overrides
 mkdir -p "$RUN"
 
 # LITEASR_HARD_TIMEOUT_S: absolute wall-clock kill so no launcher can run

@@ -18,6 +18,7 @@ cd "$(dirname "$0")/.."
 REPO="$PWD"
 RUN="${1:-$REPO/exp/pretrain_run4}"
 EPOCHS="${2:-36}"
+mkdir -p "$RUN"  # the launcher.log redirect below needs it BEFORE run_pretrain's own mkdir
 DEADLINE_S=$(date -d "${DEADLINE:?set DEADLINE, e.g. 2026-08-20 04:10}" +%s)
 STALL_STEADY_S=${STALL_STEADY_S:-600}    # silent this long after a report => hung
 STALL_STARTUP_S=${STALL_STARTUP_S:-1800} # startup (load/resume/compile) allowance
